@@ -1,0 +1,211 @@
+"""Reference-compatible object API.
+
+Mirrors the C++ ``LCQPow::LCQProblem`` surface
+(``/root/reference/include/LCQProblem.hpp:47-242``) and the Python pybind11
+binding (``/root/reference/interfaces/python/lcqpow/LCQProblem.cpp:70-176``)
+so existing LCQPow scripts port with minimal edits:
+
+    lcqp = LCQProblem(nV, nC, nComp)
+    lcqp.set_options(Options(...))
+    ret = lcqp.load_lcqp(Q, g, L, R, lbL, ubL, lbR, ubR, A, lbA, ubA, lb, ub, x0, y0)
+    ret = lcqp.switch_to_sparse_mode()      # required protocol for sparse enums
+    ret = lcqp.run_solver()
+    x = lcqp.get_primal_solution()
+    y = lcqp.get_dual_solution()
+    stats = lcqp.get_output_statistics()
+
+Error handling follows the reference: methods *return* :class:`ReturnValue`
+codes instead of raising (``src/LCQProblem.cpp`` throughout).  The
+dense/sparse mode flag is an API-protocol shim only — on TPU there is one
+canonical dense representation — but the reference's mismatch rules are
+enforced so ported code behaves identically
+(``DENSE_SPARSE_MISSMATCH``, ``src/LCQProblem.cpp:892-953``; every reference
+example calls ``switchToSparseMode`` before ``runSolver`` when using a sparse
+solver enum, e.g. ``examples/warm_up.cpp:61-69``).
+
+Both snake_case and the reference's camelCase method names are provided.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from .data import LCQPData, LCQPError, make_lcqp
+from .io import load_lcqp_from_files, read_vector
+from .options import Options
+from .solver import Solution, solve
+from .stats import Stats
+from .types import QPSolver, ReturnValue
+
+
+def _densify(M):
+    """Accept numpy/jax arrays and scipy.sparse matrices (the reference's CSC
+    load path, ``src/LCQProblem.cpp:390-441``, deep-copies CSC; on TPU sparse
+    input is converted to the canonical dense layout)."""
+    if M is None:
+        return None
+    if hasattr(M, "toarray"):  # scipy.sparse
+        return np.asarray(M.toarray())
+    return np.asarray(M)
+
+
+class LCQProblem:
+    """Stateful wrapper over the functional solver (reference parity)."""
+
+    def __init__(self, nV: int = 0, nC: int = 0, nComp: int = 0):
+        self.nV = int(nV)
+        self.nC = int(nC)
+        self.nComp = int(nComp)
+        self._options = Options()
+        self._data: Optional[LCQPData] = None
+        self._x0 = None
+        self._y0 = None
+        self._sparse_mode = False
+        self._was_sparse_input = False
+        self._solution: Optional[Solution] = None
+        self._setup_ok = self.nV > 0 and self.nComp > 0
+
+    # ------------------------------------------------------------------ load
+    def load_lcqp(self, Q, g, L, R, lbL=None, ubL=None, lbR=None, ubR=None,
+                  A=None, lbA=None, ubA=None, lb=None, ub=None,
+                  x0=None, y0=None) -> ReturnValue:
+        """Dense/sparse load (reference ``loadLCQP``,
+        ``src/LCQProblem.cpp:87-441``; argument order as in the MATLAB/Python
+        interfaces)."""
+        if not self._setup_ok:
+            return ReturnValue.LCQPOBJECT_NOT_SETUP
+        if L is None or R is None:
+            return ReturnValue.INVALID_COMPLEMENTARITY_MATRIX
+        if A is None and self.nC > 0:
+            return ReturnValue.INVALID_CONSTRAINT_MATRIX
+        sparse_in = hasattr(Q, "toarray") or hasattr(L, "toarray")
+        try:
+            self._data = make_lcqp(
+                _densify(Q), _densify(g), _densify(L), _densify(R),
+                lbL=_densify(lbL), ubL=_densify(ubL),
+                lbR=_densify(lbR), ubR=_densify(ubR),
+                A=_densify(A), lbA=_densify(lbA), ubA=_densify(ubA),
+                lb=_densify(lb), ub=_densify(ub))
+        except LCQPError as e:
+            return e.code
+        if self._data.nC != self.nC or self._data.nComp != self.nComp \
+                or self._data.nV != self.nV:
+            self._data = None
+            return ReturnValue.INVALID_ARGUMENT
+        self._x0 = None if x0 is None else np.asarray(x0, np.float64).reshape(-1)
+        self._y0 = None if y0 is None else np.asarray(y0, np.float64).reshape(-1)
+        # A sparse load puts the object directly in sparse mode (reference
+        # CSC overload); a dense load requires switchToSparseMode.
+        self._sparse_mode = sparse_in
+        self._was_sparse_input = sparse_in
+        return ReturnValue.SUCCESSFUL_RETURN
+
+    def load_lcqp_from_files(self, directory: str, x0=None, y0=None
+                             ) -> ReturnValue:
+        """File load (reference ``loadLCQP`` file overload,
+        ``src/LCQProblem.cpp:147-387``)."""
+        try:
+            self._data = load_lcqp_from_files(directory)
+        except (OSError, ValueError):
+            return ReturnValue.UNABLE_TO_READ_FILE
+        self.nV = self._data.nV
+        self.nC = self._data.nC
+        self.nComp = self._data.nComp
+        self._setup_ok = True
+        self._x0 = None if x0 is None else np.asarray(x0, np.float64).reshape(-1)
+        self._y0 = None if y0 is None else np.asarray(y0, np.float64).reshape(-1)
+        self._sparse_mode = False
+        return ReturnValue.SUCCESSFUL_RETURN
+
+    # ------------------------------------------------------- mode switching
+    def switch_to_sparse_mode(self) -> ReturnValue:
+        """Protocol shim (reference ``src/LCQProblem.cpp:1037-1068``)."""
+        if self._data is None:
+            return ReturnValue.FAILED_SWITCH_TO_SPARSE
+        self._sparse_mode = True
+        return ReturnValue.SUCCESSFUL_RETURN
+
+    def switch_to_dense_mode(self) -> ReturnValue:
+        """Protocol shim (reference ``src/LCQProblem.cpp:1071-1102``)."""
+        if self._data is None:
+            return ReturnValue.FAILED_SWITCH_TO_DENSE
+        self._sparse_mode = False
+        return ReturnValue.SUCCESSFUL_RETURN
+
+    # -------------------------------------------------------------- options
+    def set_options(self, options: Options) -> None:
+        self._options = options
+
+    def get_options(self) -> Options:
+        return self._options
+
+    # ---------------------------------------------------------------- solve
+    def run_solver(self) -> ReturnValue:
+        """Reference ``runSolver`` (``src/LCQProblem.cpp:444-560``) including
+        the mode-protocol checks of ``initializeSolver`` (``:885-963``)."""
+        if self._data is None:
+            return ReturnValue.LCQPOBJECT_NOT_SETUP
+        qps = self._options.qp_solver
+        # Dense/sparse protocol (initializeSolver :892-953).
+        if qps == QPSolver.QPOASES_DENSE and self._sparse_mode:
+            return ReturnValue.DENSE_SPARSE_MISSMATCH
+        if qps in (QPSolver.QPOASES_SPARSE, QPSolver.OSQP_SPARSE) \
+                and not self._sparse_mode:
+            return ReturnValue.DENSE_SPARSE_MISSMATCH
+        # OSQP mode rejects box constraints (:929-957).
+        if qps == QPSolver.OSQP_SPARSE and self._data.has_box:
+            return ReturnValue.INVALID_OSQP_BOX_CONSTRAINTS
+
+        y0 = self._y0
+        if y0 is not None and not self._options.uses_box_duals \
+                and y0.shape[0] == self.nV + self.n_duals():
+            # OSQP mode drops the box block of a full-length dual guess
+            # (:936-948; the reference's byte-count bug there is fixed here).
+            y0 = y0[self.nV:]
+
+        self._solution = solve(self._data, self._options,
+                               x0=self._x0, y0=y0)
+        return ReturnValue(int(self._solution.ret))
+
+    # --------------------------------------------------------------- getters
+    def n_duals(self) -> int:
+        base = self.nC + 2 * self.nComp
+        return base + self.nV if self._options.uses_box_duals else base
+
+    def get_primal_solution(self) -> Optional[np.ndarray]:
+        if self._solution is None:
+            return None
+        return np.asarray(self._solution.x)
+
+    def get_dual_solution(self) -> Optional[np.ndarray]:
+        if self._solution is None:
+            return None
+        return np.asarray(self._solution.y)
+
+    def get_number_of_primals(self) -> int:
+        return self.nV
+
+    def get_number_of_duals(self) -> int:
+        return self.n_duals()
+
+    def get_output_statistics(self) -> Optional[Stats]:
+        if self._solution is None:
+            return None
+        return self._solution.stats.trim()
+
+    def get_solution(self) -> Optional[Solution]:
+        return self._solution
+
+    # ------------------------------------------------ reference-style names
+    loadLCQP = load_lcqp
+    switchToSparseMode = switch_to_sparse_mode
+    switchToDenseMode = switch_to_dense_mode
+    setOptions = set_options
+    runSolver = run_solver
+    getPrimalSolution = get_primal_solution
+    getDualSolution = get_dual_solution
+    getNumberOfPrimals = get_number_of_primals
+    getNumberOfDuals = get_number_of_duals
+    getOutputStatistics = get_output_statistics

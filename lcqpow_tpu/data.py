@@ -1,0 +1,258 @@
+"""Problem data container.
+
+The reference stores the LCQP inside a mutable ``LCQProblem`` object holding
+raw pointer arrays plus CSC twins (``/root/reference/include/LCQProblem.hpp:468-527``)
+and stacks the constraint system ``A <- (A; L; R)`` on load
+(``/root/reference/src/LCQProblem.cpp:563-723``).  The TPU-native design
+replaces that with one immutable pytree of fixed-shape dense arrays:
+
+    minimize    1/2 x'Qx + g'x
+    subject to  lbA <=  A x <= ubA    (nC rows)
+                lb  <=    x <= ub     (box)
+                lbL <=  L x <= ubL    (nComp rows)
+                lbR <=  R x <= ubR    (nComp rows)
+                (Lx - lbL) 'perp' (Rx - lbR)
+
+Derived quantities computed once on construction (reference does the same at
+load/init time):
+
+* ``C = L'R + R'L``                      (src/LCQProblem.cpp:622-623)
+* ``g_phi = -(R'lbL + L'lbR)``           (src/LCQProblem.cpp:974-996)
+* ``phi_const = lbL'lbR``                (src/LCQProblem.cpp:970-971)
+
+so that ``phi(x) = 1/2 x'Cx + g_phi'x + phi_const = (Lx-lbL)'(Rx-lbR)``.
+
+"Absent" bounds are encoded as +/-INFTY (finite 1e20 stand-in, see
+``constants.py``) instead of NULL pointers; default complementarity bounds are
+``lbL = lbR = 0``, ``ubL = ubR = +INFTY``
+(``src/LCQProblem.cpp:745-782``).  All leaves are arrays, so a batch of
+problems is just this pytree with a leading batch axis (``jax.vmap``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import numpy as np
+import jax.numpy as jnp
+
+from . import _config
+from .constants import INFTY
+from .ops import linalg
+from .types import ReturnValue
+
+
+class LCQPError(ValueError):
+    """Raised by the functional API on invalid problem data; carries the
+    reference-compatible :class:`ReturnValue` code."""
+
+    def __init__(self, code: ReturnValue, msg: str = ""):
+        self.code = code
+        super().__init__(f"{code.name} ({int(code)}){': ' + msg if msg else ''}")
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class LCQPData:
+    """Immutable LCQP instance (or batch thereof, with a leading axis)."""
+
+    Q: jnp.ndarray        # (nV, nV)
+    g: jnp.ndarray        # (nV,)
+    L: jnp.ndarray        # (nComp, nV)
+    R: jnp.ndarray        # (nComp, nV)
+    lbL: jnp.ndarray      # (nComp,)
+    ubL: jnp.ndarray      # (nComp,)
+    lbR: jnp.ndarray      # (nComp,)
+    ubR: jnp.ndarray      # (nComp,)
+    A: jnp.ndarray        # (nC, nV)
+    lbA: jnp.ndarray      # (nC,)
+    ubA: jnp.ndarray      # (nC,)
+    lb: jnp.ndarray       # (nV,)
+    ub: jnp.ndarray       # (nV,)
+    # Derived (precomputed once, like the reference's load path)
+    C: jnp.ndarray        # (nV, nV)
+    g_phi: jnp.ndarray    # (nV,)
+    phi_const: jnp.ndarray  # ()
+
+    @property
+    def nV(self) -> int:
+        return self.Q.shape[-1]
+
+    @property
+    def nC(self) -> int:
+        return self.A.shape[-2]
+
+    @property
+    def nComp(self) -> int:
+        return self.L.shape[-2]
+
+    @property
+    def has_box(self) -> bool:
+        """True if any finite box bound is present.  Mirrors the reference's
+        NULL-pointer check used to reject box constraints in OSQP mode
+        (``src/LCQProblem.cpp:929-957``)."""
+        return bool(jnp.any(self.lb > -INFTY) | jnp.any(self.ub < INFTY))
+
+    # -- stacked constraint system (A; L; R), reference src/LCQProblem.cpp:563-608
+    @property
+    def A_full(self) -> jnp.ndarray:
+        return jnp.concatenate([self.A, self.L, self.R], axis=-2)
+
+    @property
+    def lbA_full(self) -> jnp.ndarray:
+        return jnp.concatenate([self.lbA, self.lbL, self.lbR], axis=-1)
+
+    @property
+    def ubA_full(self) -> jnp.ndarray:
+        return jnp.concatenate([self.ubA, self.ubL, self.ubR], axis=-1)
+
+
+def _clamp_inf(x: jnp.ndarray) -> jnp.ndarray:
+    """Map IEEE +/-inf (and beyond-INFTY values) onto the finite stand-in."""
+    return jnp.clip(x, -INFTY, INFTY)
+
+
+def make_lcqp(
+    Q,
+    g,
+    L,
+    R,
+    lbL=None,
+    ubL=None,
+    lbR=None,
+    ubR=None,
+    A=None,
+    lbA=None,
+    ubA=None,
+    lb=None,
+    ub=None,
+    *,
+    dtype=None,
+    validate: bool = True,
+) -> LCQPData:
+    """Build an :class:`LCQPData` from dense arrays, applying the reference's
+    defaulting rules (``src/LCQProblem.cpp:563-785``):
+
+    * ``A/lbA/ubA`` absent -> zero general constraints (nC = 0);
+      absent bounds -> -/+INFTY.
+    * ``lbL/lbR`` absent -> 0;  ``ubL/ubR`` absent -> +INFTY.
+    * ``lb/ub`` absent -> -/+INFTY (box handled by qpOASES-parity modes only).
+    * Lower complementarity bounds must be finite
+      (INVALID_LOWER_COMPLEMENTARITY_BOUND, ``src/LCQProblem.cpp:747-768``).
+    """
+    dtype = dtype or _config.default_dtype()
+
+    Q = jnp.asarray(Q, dtype)
+    g = jnp.asarray(g, dtype).reshape(-1)
+    nV = g.shape[0]
+    if validate and (Q.ndim != 2 or Q.shape != (nV, nV)):
+        raise LCQPError(ReturnValue.INVALID_ARGUMENT,
+                        f"Q must be ({nV},{nV}), got {Q.shape}")
+    if validate and nV <= 0:
+        raise LCQPError(ReturnValue.INVALID_NUMBER_OF_OPTIM_VARS)
+
+    L = jnp.asarray(L, dtype).reshape(-1, nV)
+    R = jnp.asarray(R, dtype).reshape(-1, nV)
+    nComp = L.shape[0]
+    if validate and R.shape != (nComp, nV):
+        raise LCQPError(ReturnValue.INVALID_COMPLEMENTARITY_MATRIX,
+                        f"L is {L.shape}, R is {R.shape}")
+
+    def vec(v, n, default, name):
+        if v is None:
+            return jnp.full((n,), default, dtype)
+        v = jnp.asarray(v, dtype).reshape(-1)
+        if validate and v.shape[0] != n:
+            raise LCQPError(ReturnValue.INVALID_ARGUMENT,
+                            f"{name} must have length {n}, got {v.shape[0]}")
+        return _clamp_inf(v)
+
+    lbL = vec(lbL, nComp, 0.0, "lbL")
+    ubL = vec(ubL, nComp, INFTY, "ubL")
+    lbR = vec(lbR, nComp, 0.0, "lbR")
+    ubR = vec(ubR, nComp, INFTY, "ubR")
+
+    if validate:
+        # Reference rejects unbounded-below complementarity rows
+        # (src/LCQProblem.cpp:747-748, 767-768).
+        if bool(jnp.any(lbL <= -INFTY)) or bool(jnp.any(lbR <= -INFTY)):
+            raise LCQPError(ReturnValue.INVALID_LOWER_COMPLEMENTARITY_BOUND)
+
+    if A is None:
+        A = jnp.zeros((0, nV), dtype)
+    else:
+        A = jnp.asarray(A, dtype).reshape(-1, nV)
+    nC = A.shape[0]
+    lbA = vec(lbA, nC, -INFTY, "lbA")
+    ubA = vec(ubA, nC, INFTY, "ubA")
+
+    lb = vec(lb, nV, -INFTY, "lb")
+    ub = vec(ub, nV, INFTY, "ub")
+
+    # Derived quantities (see module docstring for reference citations).
+    C = linalg.matrix_symmetrization_product(L, R)
+    g_phi = -(R.T @ lbL + L.T @ lbR)
+    phi_const = jnp.dot(lbL, lbR)
+
+    return LCQPData(Q=Q, g=g, L=L, R=R, lbL=lbL, ubL=ubL, lbR=lbR, ubR=ubR,
+                    A=A, lbA=lbA, ubA=ubA, lb=lb, ub=ub,
+                    C=C, g_phi=g_phi, phi_const=phi_const)
+
+
+def pad_lcqp(data: LCQPData, nV: int, nC: int, nComp: int) -> LCQPData:
+    """Pad an instance to target dims so heterogeneous problems can share one
+    batched (vmapped) solve.  Padding is exact: extra variables are pinned to
+    0 by unit-diagonal Q rows and lb=ub=0 box rows; extra constraint /
+    complementarity rows are all-zero with bounds that hold trivially, so the
+    solution and all iterates restricted to the original coordinates are
+    unchanged.
+    """
+    dnV, dnC, dnK = data.nV, data.nC, data.nComp
+    if (nV, nC, nComp) == (dnV, dnC, dnK):
+        return data
+    if nV < dnV or nC < dnC or nComp < dnK:
+        raise LCQPError(ReturnValue.INVALID_ARGUMENT, "pad dims must not shrink")
+    dt = data.Q.dtype
+
+    Q = jnp.zeros((nV, nV), dt).at[:dnV, :dnV].set(data.Q)
+    # Unit diagonal on padded vars keeps Q non-singular directions harmless.
+    diag_pad = jnp.arange(dnV, nV)
+    Q = Q.at[diag_pad, diag_pad].set(1.0)
+    g = jnp.zeros((nV,), dt).at[:dnV].set(data.g)
+
+    def padm(M, rows):
+        out = jnp.zeros((rows, nV), dt)
+        return out.at[:M.shape[0], :dnV].set(M)
+
+    def padv(v, rows, fill):
+        return jnp.full((rows,), fill, dt).at[:v.shape[0]].set(v)
+
+    L = padm(data.L, nComp)
+    R = padm(data.R, nComp)
+    # Zero L/R rows with lbL=lbR=0: Lx-lbL = 0, contributes nothing to phi.
+    lbL = padv(data.lbL, nComp, 0.0)
+    ubL = padv(data.ubL, nComp, INFTY)
+    lbR = padv(data.lbR, nComp, 0.0)
+    ubR = padv(data.ubR, nComp, INFTY)
+    A = padm(data.A, nC)
+    lbA = padv(data.lbA, nC, -INFTY)
+    ubA = padv(data.ubA, nC, INFTY)
+    # Pin padded variables to zero via the box; the internal ADMM engine
+    # always carries box rows, independent of the user-facing solver mode.
+    lb = padv(data.lb, nV, 0.0)
+    ub = padv(data.ub, nV, 0.0)
+
+    C = linalg.matrix_symmetrization_product(L, R)
+    g_phi = -(R.T @ lbL + L.T @ lbR)
+    phi_const = jnp.dot(lbL, lbR)
+    return LCQPData(Q=Q, g=g, L=L, R=R, lbL=lbL, ubL=ubL, lbR=lbR, ubR=ubR,
+                    A=A, lbA=lbA, ubA=ubA, lb=lb, ub=ub,
+                    C=C, g_phi=g_phi, phi_const=phi_const)
+
+
+def stack_lcqps(problems) -> LCQPData:
+    """Stack equal-shape instances into one batched LCQPData (leading axis)."""
+    problems = list(problems)
+    return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *problems)

@@ -1,0 +1,148 @@
+"""Solver options.
+
+Mirrors the reference ``Options`` class (``/root/reference/include/Options.hpp``,
+defaults at ``/root/reference/src/Options.cpp:296-333``): the same 14 algorithm
+knobs with the same defaults and the same validation semantics (invalid values
+emit a warning and are replaced by the default rather than raising), plus the
+embedded inner-solver sub-configuration (the reference embeds a full
+``qpOASES::Options``/``OSQPSettings``; here the inner solver is the batched TPU
+ADMM engine, configured by :class:`ADMMOptions`).
+
+Both classes are frozen dataclasses: hashable, usable as static jit arguments,
+so option values become compile-time constants and dead branches (printing,
+step storage, Leyffer checks) are pruned by XLA.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import warnings
+from typing import Optional
+
+from .constants import EPS
+from .types import PrintLevel, QPSolver
+
+
+def _warn(msg: str) -> None:
+    warnings.warn(msg, stacklevel=3)
+
+
+@dataclasses.dataclass(frozen=True)
+class ADMMOptions:
+    """Configuration of the inner batched ADMM QP engine.
+
+    Plays the role of the reference's embedded ``OSQPSettings``
+    (``/root/reference/src/Options.cpp:328-332`` sets ``eps_prim_inf=EPS``,
+    ``verbose=false``, ``polish=true`` on top of OSQP defaults).  Parameter
+    names follow OSQP where a counterpart exists.
+    """
+
+    rho: float = 0.1            # ADMM penalty on inequality rows
+    rho_eq_scale: float = 1e3   # equality rows (l==u) use rho*rho_eq_scale
+    sigma: float = 1e-6         # proximal regularization
+    alpha: float = 1.6          # relaxation
+    eps_abs: float = 1e-9       # absolute tolerance (tighter than OSQP's 1e-3:
+    eps_rel: float = 1e-9       #   iterations are cheap when batched on TPU and
+                                #   the homotopy needs accurate subproblem duals)
+    eps_prim_inf: float = 1e-11  # infeasibility-certificate tolerance
+    eps_dual_inf: float = 1e-11
+    max_iter: int = 4000
+    check_interval: int = 25    # convergence/infeasibility test cadence
+    polish: bool = True         # active-set polish to machine precision
+    polish_delta: float = 1e-8  # regularization used by the polish KKT solve
+    polish_refine_iter: int = 3
+    polish_active_set_rounds: int = 3  # bounded active-set refinement rounds
+
+    def __post_init__(self):
+        if self.rho <= 0:
+            _warn("ADMMOptions.rho must be positive; using default 0.1.")
+            object.__setattr__(self, "rho", 0.1)
+        if self.sigma <= 0:
+            _warn("ADMMOptions.sigma must be positive; using default 1e-6.")
+            object.__setattr__(self, "sigma", 1e-6)
+        if not (0.0 < self.alpha < 2.0):
+            _warn("ADMMOptions.alpha must be in (0, 2); using default 1.6.")
+            object.__setattr__(self, "alpha", 1.6)
+        if self.max_iter <= 0:
+            _warn("ADMMOptions.max_iter must be positive; using default 4000.")
+            object.__setattr__(self, "max_iter", 4000)
+
+
+@dataclasses.dataclass(frozen=True)
+class Options:
+    """Algorithm options (reference defaults, ``src/Options.cpp:296-333``)."""
+
+    # Tolerances
+    complementarity_tolerance: float = 1.0e3 * EPS
+    stationarity_tolerance: float = 1.0e6 * EPS
+
+    # Penalty homotopy
+    initial_penalty_parameter: float = 0.01
+    penalty_update_factor: float = 2.0
+    max_penalty_parameter: float = 1e8
+
+    # Strategies
+    solve_zero_penalty_first: bool = True
+    perturb_step: bool = True
+
+    # Iteration limits
+    max_iterations: int = 1000
+
+    # Leyffer dynamic penalty check (src/LCQProblem.cpp:1275-1313)
+    n_dynamic_penalty: int = 3
+    eta_dynamic_penalty: float = 0.9
+
+    # Observability
+    print_level: PrintLevel = PrintLevel.INNER_LOOP_ITERATES
+    store_steps: bool = False
+
+    # Inner solver selection + config
+    qp_solver: QPSolver = QPSolver.QPOASES_DENSE
+    admm: ADMMOptions = dataclasses.field(default_factory=ADMMOptions)
+
+    # TPU-only: PRNG seed for the step perturbation.  The reference calls
+    # srand(time(NULL)) per solve (src/LCQProblem.cpp:1016) and is therefore
+    # nondeterministic; we use an explicit, vmappable key instead.
+    seed: int = 0
+
+    def __post_init__(self):
+        # Validating setters: warn + restore default, matching the reference's
+        # setter behavior (src/Options.cpp — each setter warns and keeps the
+        # previous/default value on invalid input).
+        if self.complementarity_tolerance < EPS:
+            _warn("complementarity_tolerance must be >= machine precision; "
+                  "using default.")
+            object.__setattr__(self, "complementarity_tolerance", 1.0e3 * EPS)
+        if self.stationarity_tolerance < EPS:
+            _warn("stationarity_tolerance must be >= machine precision; "
+                  "using default.")
+            object.__setattr__(self, "stationarity_tolerance", 1.0e6 * EPS)
+        if self.initial_penalty_parameter <= 0:
+            _warn("initial_penalty_parameter must be positive; using default.")
+            object.__setattr__(self, "initial_penalty_parameter", 0.01)
+        if self.penalty_update_factor <= 1:
+            _warn("penalty_update_factor must be > 1; using default.")
+            object.__setattr__(self, "penalty_update_factor", 2.0)
+        if self.max_penalty_parameter <= 0:
+            _warn("max_penalty_parameter must be positive; using default.")
+            object.__setattr__(self, "max_penalty_parameter", 1e8)
+        if self.max_iterations <= 0:
+            _warn("max_iterations must be a positive integer; using default.")
+            object.__setattr__(self, "max_iterations", 1000)
+        if self.n_dynamic_penalty > 0 and not (0 < self.eta_dynamic_penalty < 1):
+            _warn("eta_dynamic_penalty must be in (0, 1); using default.")
+            object.__setattr__(self, "eta_dynamic_penalty", 0.9)
+        if not isinstance(self.print_level, PrintLevel):
+            object.__setattr__(self, "print_level", PrintLevel(self.print_level))
+        if not isinstance(self.qp_solver, QPSolver):
+            object.__setattr__(self, "qp_solver", QPSolver(self.qp_solver))
+
+    # Convenience: functional update preserving validation.
+    def replace(self, **kw) -> "Options":
+        return dataclasses.replace(self, **kw)
+
+    @property
+    def uses_box_duals(self) -> bool:
+        """qpOASES-parity modes carry an nV-long box-dual block
+        (``/root/reference/src/LCQProblem.cpp:888-935``)."""
+        return self.qp_solver in (QPSolver.QPOASES_DENSE, QPSolver.QPOASES_SPARSE)

@@ -1,0 +1,437 @@
+"""The penalty-homotopy driver (sequential convex programming loop).
+
+This is the TPU-native re-design of ``LCQProblem::runSolver``
+(``/root/reference/src/LCQProblem.cpp:444-560``): the reference's mutable
+object + ``while(true)`` becomes a pure function
+
+    solve(data, options, x0, y0, key) -> Solution
+
+built on ``jax.lax.while_loop`` with an immutable carry.  The exact loop
+semantics are preserved (verified against the reference source):
+
+* fused inner/outer loop — an "outer iteration" is an inner iteration in
+  which a penalty update fired (``:476-559``);
+* ``updateLinearization`` runs **twice** per pass (``:508`` and ``:545``) so
+  ``gk`` reflects any penalty update between them;
+* both the Leyffer dynamic check (``:499``, ``leyfferCheckPositive``
+  ``:1275-1313``) and the stationary-but-not-complementary branch (``:528``)
+  can fire a penalty update in the *same* pass;
+* the stationarity check (``:511``) uses the ``statk`` computed at the top of
+  the pass — i.e. *before* any penalty update of this pass (stale-``rho``
+  semantics replicated);
+* ``g_tilde`` starts as ``g`` and only picks up the ``rho*g_phi`` term after
+  the first penalty update (``initializeSolver`` ``:966-967`` vs
+  ``updatePenalty`` ``:1210-1213``) — a reference quirk that matters for
+  shifted complementarity bounds and is replicated as-is;
+* step perturbation adds ``{-1,0,1}*EPS`` per coordinate (``:1353-1362``) but
+  with an explicit ``jax.random`` key instead of ``srand(time(NULL))``
+  (``:1016``), making solves deterministic and vmappable;
+* exact merit line search ``alpha = min(-lk/qk, 1)`` (``:1217-1237``);
+* dual transform ``y_L -= rho*R*x``, ``y_R -= rho*L*x`` (``:1381-1409``) and
+  S/M/C/W stationarity typing (``:1412-1482``) on convergence.
+
+``Qk = Q + rho*C`` is never materialized: every use is a matvec, computed as
+``Q@v + rho*(C@v)`` so penalty updates are free (the reference instead
+rebuilds/patches ``Qk`` per update, ``:1316-1326`` — an artifact of handing a
+materialized Hessian to qpOASES).
+
+Everything is shape-static and branchless (``lax.cond``/``jnp.where``), so
+``jax.vmap`` turns this scalar solver into a batched one where each instance
+carries its own ``done`` flag (see ``batch.py``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .constants import EPS, INFTY
+from .data import LCQPData
+from .options import Options
+from .solvers import admm
+from .stats import Stats, Trajectories
+from .types import AlgorithmStatus, PrintLevel, QPSolver, ReturnValue
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Solution:
+    """Result of one LCQP solve.
+
+    ``y`` follows the mode-dependent reference layout
+    (``src/LCQProblem.cpp:888-960``): ``[y_box(nV); y_A(nC); y_L; y_R]`` for
+    qpOASES-parity modes, ``[y_A; y_L; y_R]`` otherwise.
+    """
+
+    x: jnp.ndarray            # (nV,)
+    y: jnp.ndarray            # (nDuals,)
+    ret: jnp.ndarray          # () int32 ReturnValue
+    algo_status: jnp.ndarray  # () int32 AlgorithmStatus
+    stats: Stats
+
+    @property
+    def success(self):
+        return self.ret == int(ReturnValue.SUCCESSFUL_RETURN)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class _Carry:
+    """while_loop carry of the homotopy driver (internal)."""
+
+    xk: jnp.ndarray
+    yk: jnp.ndarray          # (m_int,) LCQPow sign, internal order [A;L;R;box]
+    pk: jnp.ndarray
+    statk: jnp.ndarray
+    gk: jnp.ndarray
+    g_tilde: jnp.ndarray
+    rho: jnp.ndarray
+    alphak: jnp.ndarray
+    st: admm.ADMMState
+    hist: jnp.ndarray        # (nhist,) Leyffer phi ring buffer
+    hist_n: jnp.ndarray      # () int32 entries currently valid
+    inner: jnp.ndarray       # () int32
+    outer: jnp.ndarray
+    total: jnp.ndarray
+    sub_iters: jnp.ndarray   # accumulated inner-QP iterations
+    qp_flag: jnp.ndarray     # last inner-QP status
+    qp_iter_k: jnp.ndarray   # iterations of the most recent QP solve
+    done: jnp.ndarray        # () bool
+    ret: jnp.ndarray         # () int32 ReturnValue
+    algo: jnp.ndarray        # () int32 AlgorithmStatus
+    key: jax.Array
+    traj: Optional[Trajectories]
+
+
+def _phi(data: LCQPData, x):
+    """phi(x) = (Lx-lbL)'(Rx-lbR) via the cached expansion
+    (``getPhi``, ``src/LCQProblem.cpp:1172-1185``)."""
+    return data.phi_const + jnp.dot(data.g_phi, x) + 0.5 * (x @ (data.C @ x))
+
+
+def _obj(data: LCQPData, x):
+    return jnp.dot(data.g, x) + 0.5 * (x @ (data.Q @ x))
+
+
+def _merit(data: LCQPData, x, rho):
+    """g'x + 1/2 x'Qk x — replicates ``getMerit`` (``:1188-1196``) including
+    its omission of the ``rho*(g_phi'x + phi_const)`` terms."""
+    return jnp.dot(data.g, x) + 0.5 * (x @ (data.Q @ x)) \
+        + 0.5 * rho * (x @ (data.C @ x))
+
+
+def _determine_stationarity(data: LCQPData, x, yL, yR, compl_tol):
+    """Vectorized ``determineStationarityType`` (``src/LCQProblem.cpp:1412-1453``).
+
+    Weak set uses raw ``Lx, Rx <= tol`` — not shifted by lbL/lbR — replicated
+    as-is (see SURVEY.md §7 hard parts).
+    """
+    Lx = data.L @ x
+    Rx = data.R @ x
+    weak = (Lx <= compl_tol) & (Rx <= compl_tol)
+    prod = yL * yR
+    mn = jnp.minimum(yL, yR)
+    s_fail = weak & (mn < 0)
+    mc_fail = weak & (jnp.abs(prod) >= compl_tol) & (mn <= 0)
+    w_flag = mc_fail & (prod <= compl_tol)
+    return jnp.where(
+        jnp.any(w_flag), int(AlgorithmStatus.W_STATIONARY_SOLUTION),
+        jnp.where(
+            ~jnp.any(s_fail), int(AlgorithmStatus.S_STATIONARY_SOLUTION),
+            jnp.where(~jnp.any(mc_fail),
+                      int(AlgorithmStatus.M_STATIONARY_SOLUTION),
+                      int(AlgorithmStatus.C_STATIONARY_SOLUTION)))
+    ).astype(jnp.int32)
+
+
+def build_workspace(data: LCQPData, options: Options) -> admm.QPWorkspace:
+    """Assemble the internal constraint system and factorize once.
+
+    Internal row order: ``[A (nC); L; R; box (nV)]``.  Box rows are always
+    materialized (+/-INFTY bounds when absent) so all solver modes share one
+    shape; loose rows receive a negligible ADMM penalty in ``factorize``.
+    """
+    n = data.nV
+    eye = jnp.eye(n, dtype=data.Q.dtype)
+    A_int = jnp.concatenate([data.A_full, eye], axis=0)
+    l_int = jnp.concatenate([data.lbA_full, data.lb])
+    u_int = jnp.concatenate([data.ubA_full, data.ub])
+    return admm.factorize(data.Q, A_int, l_int, u_int, options.admm)
+
+
+def solve(data: LCQPData, options: Options = Options(),
+          x0: Optional[jnp.ndarray] = None,
+          y0: Optional[jnp.ndarray] = None,
+          key: Optional[jax.Array] = None) -> Solution:
+    """Solve a single LCQP instance.  Pure and jittable; ``options`` is
+    static.  For batches, ``vmap`` over ``(data, x0, y0, key)``."""
+    n = data.nV
+    nC, nK = data.nC, data.nComp
+    m0 = nC + 2 * nK            # stacked constraint rows (A; L; R)
+    m_int = m0 + n              # + box rows
+    dtype = data.Q.dtype
+    cfg = options.admm
+    nhist = max(int(options.n_dynamic_penalty), 1)
+
+    if key is None:
+        key = jax.random.PRNGKey(options.seed)
+
+    ws = build_workspace(data, options)
+
+    # --- initial iterates (setInitialGuess, LCQProblem.ipp:133-158) ---------
+    xk0 = jnp.zeros((n,), dtype) if x0 is None else jnp.asarray(x0, dtype)
+    if y0 is None:
+        yk0 = jnp.zeros((m_int,), dtype)
+        have_y0 = False
+    else:
+        y0 = jnp.asarray(y0, dtype).reshape(-1)
+        if y0.shape[0] == n + m0:
+            # Reference qpOASES layout [box; A; L; R] -> internal [A; L; R; box].
+            yk0 = jnp.concatenate([y0[n:], y0[:n]])
+        elif y0.shape[0] == m0:
+            yk0 = jnp.concatenate([y0, jnp.zeros((n,), dtype)])
+        else:
+            raise ValueError(f"y0 must have length {m0} or {n + m0}")
+        have_y0 = True
+
+    # ADMM warm start (OSQP sign is the negative of the LCQPow convention,
+    # src/SubsolverOSQP.cpp:196-199).
+    st0 = admm.init_state(ws, xk0 if x0 is not None else None,
+                          -yk0 if have_y0 else None)
+
+    rho0 = jnp.asarray(options.initial_penalty_parameter, dtype)
+    g_tilde0 = data.g          # NOT g + rho0*g_phi — reference quirk, see above.
+
+    # --- first QP (runSolver :452-467) --------------------------------------
+    if options.solve_zero_penalty_first:
+        gk0 = data.g
+    else:
+        gk0 = rho0 * (data.C @ xk0) + g_tilde0
+    res0 = admm.solve(ws, gk0, st0, cfg)
+    yk_full0 = -res0.y
+    pk0 = res0.x - xk0
+    init_failed = res0.status <= 0
+
+    stat_tol = options.stationarity_tolerance
+    compl_tol = options.complementarity_tolerance
+    beta = options.penalty_update_factor
+
+    store = options.store_steps
+    T = options.max_iterations + 2
+    if store:
+        traj0 = Trajectories(
+            x_steps=jnp.full((T, n), jnp.nan, dtype),
+            inner_iters=jnp.zeros((T,), jnp.int32),
+            subproblem_iters=jnp.zeros((T,), jnp.int32),
+            accu_subproblem_iters=jnp.zeros((T,), jnp.int32),
+            step_length=jnp.full((T,), jnp.nan, dtype),
+            step_size=jnp.full((T,), jnp.nan, dtype),
+            stat_vals=jnp.full((T,), jnp.nan, dtype),
+            obj_vals=jnp.full((T,), jnp.nan, dtype),
+            phi_vals=jnp.full((T,), jnp.nan, dtype),
+            merit_vals=jnp.full((T,), jnp.nan, dtype),
+        )
+    else:
+        traj0 = None
+
+    i32 = lambda v: jnp.asarray(v, jnp.int32)
+
+    carry0 = _Carry(
+        xk=xk0, yk=yk_full0, pk=pk0,
+        statk=jnp.zeros((n,), dtype), gk=gk0, g_tilde=g_tilde0, rho=rho0,
+        alphak=jnp.ones((), dtype), st=res0.state,
+        hist=jnp.zeros((nhist,), dtype), hist_n=i32(0),
+        inner=i32(0), outer=i32(0), total=i32(0),
+        sub_iters=res0.iterations, qp_flag=res0.status,
+        qp_iter_k=res0.iterations,
+        done=jnp.asarray(init_failed),
+        ret=jnp.where(init_failed,
+                      i32(int(ReturnValue.SUBPROBLEM_SOLVER_ERROR)),
+                      i32(int(ReturnValue.SUCCESSFUL_RETURN))),
+        algo=i32(int(AlgorithmStatus.PROBLEM_NOT_SOLVED)),
+        key=key, traj=traj0,
+    )
+    # An initial-QP failure means the loop never runs but ret must be the
+    # error (runSolver :456-466); encode by flagging done with ret set above
+    # — if the loop runs, ret starts as SUCCESSFUL and is overwritten on exit.
+
+    def Qk_mv(rho, v):
+        return data.Q @ v + rho * (data.C @ v)
+
+    def body(c: _Carry) -> _Carry:
+        # 1. updateStep (:479, :1240-1243)
+        xk = c.xk + c.alphak * c.pk
+
+        # 2. updateStationarity (:482, :1246-1272): Qk xk + g_tilde - Aint'yk
+        #    (box block of yk is exactly zero in modes without box duals).
+        A_int_t_y = ws.A.T @ c.yk
+        statk = Qk_mv(c.rho, xk) + c.g_tilde - A_int_t_y
+
+        phi_k = _phi(data, xk)
+
+        # 3./4. printIteration / storeSteps at index `total` (:485-490)
+        if options.print_level >= PrintLevel.INNER_LOOP_ITERATES:
+            jax.debug.print(
+                "{:5d} | {:4d} | {:11.4e} | {:11.4e} | {:9.2e} | "
+                "{:9.2e} | {:6.2f} | {:5d}",
+                c.total, c.inner, jnp.max(jnp.abs(statk)), phi_k, c.rho,
+                jnp.max(jnp.abs(c.pk)), c.alphak, c.qp_iter_k)
+        if store:
+            t = c.traj
+            idx = c.total
+            traj = Trajectories(
+                x_steps=t.x_steps.at[idx].set(xk),
+                inner_iters=t.inner_iters.at[idx].set(c.inner),
+                subproblem_iters=t.subproblem_iters.at[idx].set(c.qp_iter_k),
+                accu_subproblem_iters=t.accu_subproblem_iters.at[idx].set(
+                    c.sub_iters),
+                step_length=t.step_length.at[idx].set(c.alphak),
+                step_size=t.step_size.at[idx].set(jnp.max(jnp.abs(c.pk))),
+                stat_vals=t.stat_vals.at[idx].set(jnp.max(jnp.abs(statk))),
+                obj_vals=t.obj_vals.at[idx].set(_obj(data, xk)),
+                phi_vals=t.phi_vals.at[idx].set(phi_k),
+                merit_vals=t.merit_vals.at[idx].set(_merit(data, xk, c.rho)),
+            )
+        else:
+            traj = c.traj
+
+        # 5. counters (:493-496)
+        total = c.total + 1
+        inner = c.inner + 1
+
+        # 6. Leyffer dynamic penalty (:499-505, :1275-1313)
+        rho, g_tilde = c.rho, c.g_tilde
+        outer = c.outer
+        hist, hist_n = c.hist, c.hist_n
+        if options.n_dynamic_penalty > 0:
+            nh = options.n_dynamic_penalty
+            warmup = hist_n < nh
+            compl_ok_now = phi_k < compl_tol
+            progress = jnp.any(phi_k < options.eta_dynamic_penalty * hist) \
+                & ~warmup
+            fired = ~warmup & ~compl_ok_now & ~progress
+            # push: append while warming up, else ring-shift.
+            hist_push = jnp.where(
+                warmup,
+                hist.at[jnp.clip(hist_n, 0, nh - 1)].set(phi_k),
+                jnp.roll(hist, -1).at[nh - 1].set(phi_k))
+            hist_n_push = jnp.minimum(hist_n + 1, nh)
+            # updatePenalty clears the history (:1200-1202).
+            hist = jnp.where(fired, jnp.zeros_like(hist), hist_push)
+            hist_n = jnp.where(fired, 0, hist_n_push)
+            rho = jnp.where(fired, rho * beta, rho)
+            g_tilde = jnp.where(fired, data.g + rho * data.g_phi, g_tilde)
+            outer = outer + jnp.where(fired, 1, 0).astype(jnp.int32)
+            inner = jnp.where(fired, 0, inner).astype(jnp.int32)
+
+        # 7. updateLinearization #1 (:508)
+        gk = rho * (data.C @ xk) + g_tilde
+
+        # 8. termination / penalty branch (:511-534).  Note: statk is the
+        #    (possibly stale w.r.t. this pass's Leyffer update) top-of-pass
+        #    value — replicated.
+        stat_ok = jnp.max(jnp.abs(statk)) < stat_tol
+        compl_ok = phi_k < compl_tol
+        converged = stat_ok & compl_ok
+
+        # transformDuals (:1381-1409) on the converged duals.
+        yk = c.yk
+        yL = yk[nC:nC + nK] - rho * (data.R @ xk)
+        yR = yk[nC + nK:m0] - rho * (data.L @ xk)
+        yk_conv = yk.at[nC:nC + nK].set(yL).at[nC + nK:m0].set(yR)
+        algo_conv = _determine_stationarity(data, xk, yL, yR, compl_tol)
+        yk = jnp.where(converged, yk_conv, yk)
+        algo = jnp.where(converged, algo_conv, c.algo).astype(jnp.int32)
+        done = converged
+        ret = jnp.where(converged,
+                        int(ReturnValue.SUCCESSFUL_RETURN), c.ret)
+
+        # stationary but not complementary -> penalty update (:528-533)
+        pen2 = stat_ok & ~compl_ok
+        rho = jnp.where(pen2, rho * beta, rho)
+        g_tilde = jnp.where(pen2, data.g + rho * data.g_phi, g_tilde)
+        outer = outer + jnp.where(pen2, 1, 0).astype(jnp.int32)
+        inner = jnp.where(pen2, 0, inner).astype(jnp.int32)
+        if options.n_dynamic_penalty > 0:
+            hist = jnp.where(pen2, jnp.zeros_like(hist), hist)
+            hist_n = jnp.where(pen2, 0, hist_n).astype(jnp.int32)
+
+        # 9./10. failure terminations (:537-542)
+        hit_iter = ~done & (total > options.max_iterations)
+        ret = jnp.where(hit_iter, int(ReturnValue.MAX_ITERATIONS_REACHED), ret)
+        done = done | hit_iter
+        hit_rho = ~done & (rho > options.max_penalty_parameter)
+        ret = jnp.where(hit_rho, int(ReturnValue.MAX_PENALTY_REACHED), ret)
+        done = done | hit_rho
+
+        # 11.-14. next-step computation (:545-558), skipped once done.
+        def continue_branch(args):
+            xk, yk, st, gk, g_tilde, rho, key, sub_iters = args
+            # updateLinearization #2 (:545) — reflects any rho change above.
+            gk = rho * (data.C @ xk) + g_tilde
+            res = admm.solve(ws, gk, st, cfg)
+            xnew = res.x
+            yk_new = -res.y
+            pk = xnew - xk
+            qp_fail = res.status <= 0
+            # perturbStep (:554-555, :1353-1362)
+            key, sub = jax.random.split(key)
+            if options.perturb_step:
+                r = jax.random.randint(sub, (n,), -1, 2).astype(dtype)
+                xk = xk + r * EPS
+            # getOptimalStepLength (:558, :1217-1237)
+            qk_val = pk @ Qk_mv(rho, pk)
+            lk_val = pk @ (Qk_mv(rho, xk) + g_tilde)
+            alphak = jnp.where((qk_val > 0) & (lk_val < 0),
+                               jnp.minimum(-lk_val / qk_val, 1.0),
+                               1.0).astype(dtype)
+            return (xk, yk_new, pk, alphak, res.state, key,
+                    sub_iters + res.iterations, res.status,
+                    res.iterations, qp_fail)
+
+        def done_branch(args):
+            xk, yk, st, gk, g_tilde, rho, key, sub_iters = args
+            return (xk, yk, c.pk, c.alphak, st, key, sub_iters,
+                    c.qp_flag, c.qp_iter_k, jnp.asarray(False))
+
+        (xk, yk_next, pk, alphak, st, key, sub_iters, qp_flag, qp_iter_k,
+         qp_fail) = lax.cond(done, done_branch, continue_branch,
+                             (xk, yk, c.st, gk, g_tilde, rho, c.key,
+                              c.sub_iters))
+        yk = jnp.where(done, yk, yk_next)
+        ret = jnp.where(qp_fail, int(ReturnValue.SUBPROBLEM_SOLVER_ERROR), ret)
+        done = done | qp_fail
+
+        return _Carry(xk=xk, yk=yk, pk=pk, statk=statk, gk=gk,
+                      g_tilde=g_tilde, rho=rho, alphak=alphak, st=st,
+                      hist=hist, hist_n=hist_n, inner=inner, outer=outer,
+                      total=total, sub_iters=sub_iters, qp_flag=qp_flag,
+                      qp_iter_k=qp_iter_k, done=done,
+                      ret=ret.astype(jnp.int32), algo=algo, key=key,
+                      traj=traj)
+
+    final = lax.while_loop(lambda c: ~c.done, body, carry0)
+
+    # Assemble the mode-dependent dual layout (src/LCQProblem.cpp:888-960).
+    y_A_full = final.yk[:m0]
+    y_box = final.yk[m0:]
+    if options.uses_box_duals:
+        y_out = jnp.concatenate([y_box, y_A_full])
+    else:
+        y_out = y_A_full
+
+    stats = Stats(
+        iter_total=final.total,
+        iter_outer=final.outer,
+        subproblem_iter=final.sub_iters,
+        rho_opt=final.rho,
+        solution_status=final.algo,
+        qp_exit_flag=final.qp_flag,
+        trajectories=final.traj,
+    )
+    return Solution(x=final.xk, y=y_out, ret=final.ret,
+                    algo_status=final.algo, stats=stats)

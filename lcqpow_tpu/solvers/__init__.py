@@ -1,0 +1,1 @@
+from . import admm  # noqa: F401

@@ -1,0 +1,421 @@
+"""Batched dense ADMM QP engine (the TPU-native inner subproblem solver).
+
+Role in the stack: the reference dispatches its convex-QP subproblems to
+qpOASES (dense/sparse active set, ``/root/reference/src/SubsolverQPOASES.cpp``)
+or OSQP (sparse ADMM, ``/root/reference/src/SubsolverOSQP.cpp``).  Both exploit
+the homotopy structure — the Hessian ``Q`` and constraint matrix never change,
+only the gradient ``gk`` moves — so the expensive factorization happens once
+and every subsequent solve is a hotstart
+(``src/SubsolverQPOASES.cpp:144-168``, ``src/SubsolverOSQP.cpp:162-173``).
+
+This module is the TPU-first equivalent: an OSQP-style ADMM operating on one
+canonical dense representation, where
+
+* the KKT operator ``M = P + sigma*I + A' diag(rho) A`` is inverted **once
+  per problem** (``factorize``, via Cholesky + a matmul-only triangular
+  inverse, see ``ops/chol.py``) and reused across the entire penalty homotopy
+  and all ADMM iterations;
+* every step is a fixed-shape batched matvec — no data-dependent shapes, so
+  ``vmap`` turns a fleet of LCQPs into large MXU contractions;
+* accuracy parity with the reference's machine-precision active-set solves is
+  recovered by an OSQP-style *polish* step (the reference enables
+  ``polish=true`` by default, ``src/Options.cpp:332``): the active set implied
+  by the dual signs defines a masked equality-KKT system solved via a
+  regularized Schur complement + iterative refinement — fixed shapes, no
+  dynamic indexing;
+* primal/dual infeasibility certificates reproduce OSQP's detection so the
+  driver can report ``SUBPROBLEM_SOLVER_ERROR`` like the reference
+  (``src/SubsolverOSQP.cpp:178-181``: exit flag <= 0 is an error).
+
+Internal constraint row order is ``[A (nC); L; R; box (nV)]`` — box rows are
+always materialized (bounds +/-INFTY when absent) so shapes are uniform across
+solver modes; loose rows get a tiny ADMM penalty so they cost nothing.
+
+Exit flags follow OSQP's ``status_val`` convention (read by the reference at
+``src/SubsolverOSQP.cpp:176-181``): 1 = solved, -2 = max-iter, -3 = primal
+infeasible, -4 = dual infeasible.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..constants import INFTY, ZERO
+from ..ops.chol import spd_inverse
+from ..options import ADMMOptions
+
+# OSQP-compatible status values.
+ADMM_SOLVED = 1
+ADMM_MAX_ITER = -2
+ADMM_PRIMAL_INFEASIBLE = -3
+ADMM_DUAL_INFEASIBLE = -4
+
+_RHO_MIN = 1e-6
+_RHO_MAX = 1e6
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class QPWorkspace:
+    """Per-problem precomputed state: scaling, penalties, and the one-time
+    KKT-operator inverse reused by every subproblem solve of the homotopy."""
+
+    # Unscaled problem pieces (P is the QP Hessian == the LCQP's Q).
+    P: jnp.ndarray      # (n, n)
+    A: jnp.ndarray      # (m, n)
+    l: jnp.ndarray      # (m,)
+    u: jnp.ndarray      # (m,)
+    # Ruiz equilibration: x = D xs, y = E ys / c.
+    D: jnp.ndarray      # (n,)
+    E: jnp.ndarray      # (m,)
+    c: jnp.ndarray      # ()
+    # Scaled problem.
+    Ps: jnp.ndarray     # (n, n)
+    As: jnp.ndarray     # (m, n)
+    ls: jnp.ndarray     # (m,)
+    us: jnp.ndarray     # (m,)
+    # Per-row ADMM penalties (scaled space).
+    rho_vec: jnp.ndarray   # (m,)
+    rho_inv: jnp.ndarray   # (m,)
+    # Explicit inverse of M = Ps + sigma*I + As' diag(rho) As.
+    # An inverse (not a factorization) is deliberate TPU design: the hot ADMM
+    # step becomes a single MXU matmul instead of two sequential triangular
+    # solves (which are both slow on TPU and pathologically slow for XLA:CPU
+    # to compile inside loops); M is PD, Ruiz-equilibrated and
+    # sigma-regularized, and the polish step's iterative refinement absorbs
+    # the residual inverse error.
+    Minv: jnp.ndarray      # (n, n)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ADMMState:
+    """Warm-startable iterate (scaled space), carried across homotopy steps
+    like OSQP's workspace carries its iterates between ``osqp_solve`` calls."""
+
+    x: jnp.ndarray   # (n,)
+    z: jnp.ndarray   # (m,)
+    y: jnp.ndarray   # (m,)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ADMMResult:
+    x: jnp.ndarray        # (n,) unscaled primal solution
+    y: jnp.ndarray        # (m,) unscaled dual (OSQP sign convention)
+    status: jnp.ndarray   # () int32, OSQP status_val convention
+    iterations: jnp.ndarray  # () int32
+    state: ADMMState      # warm-start state for the next homotopy step
+
+
+def _ruiz_equilibrate(P, A, q_proto, n_iters: int = 10):
+    """Modified Ruiz equilibration of the KKT matrix [[P, A'], [A, 0]] plus
+    OSQP-style cost normalization.  Returns (D, E, c, Ps, As)."""
+    n = P.shape[-1]
+    m = A.shape[-2]
+    D = jnp.ones((n,), P.dtype)
+    E = jnp.ones((m,), P.dtype)
+    c = jnp.ones((), P.dtype)
+    Ps, As, qs = P, A, q_proto
+
+    def norm_col(M, axis):
+        return jnp.max(jnp.abs(M), axis=axis)
+
+    def body(_, carry):
+        D, E, c, Ps, As, qs = carry
+        # Column inf-norms of [Ps; As] (per variable) and [As'; 0] (per row).
+        dnorm = jnp.maximum(norm_col(Ps, -2), norm_col(As, -2))
+        enorm = norm_col(As, -1)
+        dd = jnp.where(dnorm > ZERO, 1.0 / jnp.sqrt(dnorm), 1.0)
+        de = jnp.where(enorm > ZERO, 1.0 / jnp.sqrt(enorm), 1.0)
+        Ps = dd[:, None] * Ps * dd[None, :]
+        As = de[:, None] * As * dd[None, :]
+        qs = dd * qs
+        D = D * dd
+        E = E * de
+        # Cost normalization (OSQP sec 5.1): gamma = 1/max(mean col norm P, |q|).
+        pc = jnp.mean(norm_col(Ps, -2))
+        qn = jnp.max(jnp.abs(qs))
+        denom = jnp.maximum(pc, qn)
+        gamma = jnp.where(denom > ZERO, 1.0 / denom, 1.0)
+        Ps = gamma * Ps
+        qs = gamma * qs
+        c = c * gamma
+        return D, E, c, Ps, As, qs
+
+    D, E, c, Ps, As, qs = lax.fori_loop(0, n_iters, body,
+                                        (D, E, c, Ps, As, qs))
+    return D, E, c, Ps, As
+
+
+def factorize(P, A, l, u, cfg: ADMMOptions) -> QPWorkspace:
+    """One-time setup: equilibrate, pick per-row penalties, invert M.
+
+    This is the TPU analogue of the reference's single KKT factorization that
+    all hotstarts reuse (``src/SubsolverQPOASES.cpp:144-160``).
+    """
+    dtype = P.dtype
+    l = jnp.clip(jnp.asarray(l, dtype), -INFTY, INFTY)
+    u = jnp.clip(jnp.asarray(u, dtype), -INFTY, INFTY)
+
+    D, E, c, Ps, As = _ruiz_equilibrate(P, A, jnp.zeros(P.shape[-1], dtype))
+
+    ls = E * l
+    us = E * u
+
+    # Per-row rho: loose rows get RHO_MIN, equality rows get rho * eq_scale
+    # (OSQP's rho_vec logic).  Detection on the *unscaled* bounds.
+    loose = (l <= -INFTY) & (u >= INFTY)
+    eq = (u - l) < 1e-12
+    rho = jnp.full(l.shape, cfg.rho, dtype)
+    rho = jnp.where(eq, jnp.clip(cfg.rho * cfg.rho_eq_scale, _RHO_MIN, _RHO_MAX), rho)
+    rho = jnp.where(loose, _RHO_MIN, rho)
+
+    n = P.shape[-1]
+    M = Ps + cfg.sigma * jnp.eye(n, dtype=dtype) + (As * rho[:, None]).T @ As
+    Minv = spd_inverse(M)
+
+    return QPWorkspace(P=P, A=A, l=l, u=u, D=D, E=E, c=c,
+                       Ps=Ps, As=As, ls=ls, us=us,
+                       rho_vec=rho, rho_inv=1.0 / rho, Minv=Minv)
+
+
+def init_state(ws: QPWorkspace, x0=None, y0=None) -> ADMMState:
+    """Warm start from an (unscaled, OSQP-sign) primal/dual guess, mirroring
+    ``osqp_warm_start_x/y`` usage (``src/SubsolverOSQP.cpp:154-161``)."""
+    n = ws.P.shape[-1]
+    m = ws.A.shape[-2]
+    dtype = ws.P.dtype
+    if x0 is None:
+        xs = jnp.zeros((n,), dtype)
+    else:
+        xs = jnp.asarray(x0, dtype) / ws.D
+    if y0 is None:
+        ys = jnp.zeros((m,), dtype)
+    else:
+        ys = jnp.asarray(y0, dtype) * ws.c / ws.E
+    zs = ws.As @ xs
+    return ADMMState(x=xs, z=zs, y=ys)
+
+
+def _residuals(ws: QPWorkspace, qs, xs, zs, ys):
+    """Unscaled primal/dual residuals and their termination thresholds."""
+    Einv = 1.0 / ws.E
+    Dinv = 1.0 / ws.D
+    cinv = 1.0 / ws.c
+    Ax = Einv * (ws.As @ xs)
+    z_un = Einv * zs
+    r_prim = jnp.max(jnp.abs(Ax - z_un))
+    Px = Dinv * (ws.Ps @ xs) * cinv
+    Aty = Dinv * (ws.As.T @ ys) * cinv
+    q_un = Dinv * qs * cinv
+    r_dual = jnp.max(jnp.abs(Px + q_un + Aty))
+    prim_scale = jnp.maximum(jnp.max(jnp.abs(Ax)), jnp.max(jnp.abs(z_un)))
+    dual_scale = jnp.maximum(jnp.maximum(jnp.max(jnp.abs(Px)),
+                                         jnp.max(jnp.abs(Aty))),
+                             jnp.max(jnp.abs(q_un)))
+    return r_prim, r_dual, prim_scale, dual_scale
+
+
+def _infeasibility(ws: QPWorkspace, qs, dxs, dys, cfg: ADMMOptions):
+    """OSQP primal/dual infeasibility certificates on unscaled deltas."""
+    dy = ws.E * dys / ws.c
+    dx = ws.D * dxs
+    ndy = jnp.max(jnp.abs(dy))
+    ndx = jnp.max(jnp.abs(dx))
+
+    Atdy = jnp.max(jnp.abs(ws.A.T @ dy))
+    sup = jnp.sum(jnp.where(dy > 0, ws.u * dy, 0.0)
+                  + jnp.where(dy < 0, ws.l * dy, 0.0))
+    prim_inf = (ndy > ZERO) \
+        & (Atdy <= cfg.eps_prim_inf * ndy) \
+        & (sup <= -cfg.eps_prim_inf * ndy)
+
+    Pdx = jnp.max(jnp.abs(ws.P @ dx))
+    q_un = qs / (ws.D * ws.c)
+    qdx = jnp.dot(q_un, dx)
+    Adx = ws.A @ dx
+    up_ok = jnp.all(jnp.where(ws.u < INFTY, Adx <= cfg.eps_dual_inf * ndx, True))
+    lo_ok = jnp.all(jnp.where(ws.l > -INFTY, Adx >= -cfg.eps_dual_inf * ndx, True))
+    dual_inf = (ndx > ZERO) \
+        & (Pdx <= cfg.eps_dual_inf * ndx) \
+        & (qdx <= -cfg.eps_dual_inf * ndx) \
+        & up_ok & lo_ok
+    return prim_inf, dual_inf
+
+
+def _polish_solve(ws: QPWorkspace, Pinv, q, low, up, cfg: ADMMOptions):
+    """Solve the equality-KKT system on the masked active set via a
+    delta-regularized Schur complement + iterative refinement.  Fixed shapes,
+    branchless."""
+    dtype = ws.P.dtype
+    delta = jnp.asarray(cfg.polish_delta, dtype)
+    act = low | up
+    mf = act.astype(dtype)
+    b = jnp.where(low, ws.l, jnp.where(up, ws.u, 0.0))
+    b = jnp.clip(b, -INFTY, INFTY) * mf
+
+    G = ws.A * mf[:, None]          # masked (zeroed inactive rows)
+    S = G @ (Pinv @ G.T) + jnp.diag(jnp.where(act, delta, 1.0))
+    Sinv = spd_inverse(S)
+
+    nu = Sinv @ (-(b + G @ (Pinv @ q)))
+    x_pol = -(Pinv @ (q + G.T @ nu))
+
+    # Iterative refinement against the *unregularized* KKT system (also
+    # absorbs the error of the explicit inverses).
+    def refine(_, carry):
+        x_pol, nu = carry
+        r1 = ws.P @ x_pol + q + G.T @ nu
+        r2 = G @ x_pol - b
+        dnu = Sinv @ (r2 - G @ (Pinv @ r1))
+        dx = -(Pinv @ (r1 + G.T @ dnu))
+        return x_pol + dx, nu + dnu
+
+    x_pol, nu = lax.fori_loop(0, cfg.polish_refine_iter, refine, (x_pol, nu))
+    return x_pol, jnp.where(act, nu, 0.0)
+
+
+def _polish(ws: QPWorkspace, q, x, y, cfg: ADMMOptions):
+    """Solution polish with active-set refinement, branchless, fixed shapes.
+
+    The ADMM dual signs seed the active set (y<0: lower-active, y>0:
+    upper-active, OSQP convention); the masked equality-KKT solve then
+    *refines* it for a few rounds — rows whose multiplier comes out
+    wrong-signed are dropped, rows the candidate point violates are added.
+    This is a bounded exact active-set iteration on top of ADMM's guess: it
+    recovers machine-precision primal/dual solutions (the accuracy the
+    reference gets from qpOASES' active-set solves and OSQP's ``polish=true``
+    default, ``src/Options.cpp:332``) and also rescues subproblems where an
+    unconverged/stale warm start seeded a wrong guess.
+    Operates fully in unscaled space (like OSQP's polish).
+    """
+    n = ws.P.shape[-1]
+    dtype = ws.P.dtype
+    delta = jnp.asarray(cfg.polish_delta, dtype)
+
+    # Seed from dual signs, restricted to rows whose selected bound is finite
+    # (a "negative" dual on a -INFTY-bounded row is warm-start noise).
+    low = (y < 0) & (ws.l > -INFTY)
+    up = (y > 0) & (ws.u < INFTY)
+
+    Pd = ws.P + delta * jnp.eye(n, dtype=dtype)
+    Pinv = spd_inverse(Pd)
+
+    x_pol, y_pol = _polish_solve(ws, Pinv, q, low, up, cfg)
+    for _ in range(int(cfg.polish_active_set_rounds)):
+        Ax = ws.A @ x_pol
+        # Drop wrong-signed multipliers; add violated rows.
+        low = (low & (y_pol < 0)) | (Ax < ws.l - cfg.polish_delta)
+        up = (up & (y_pol > 0)) | (Ax > ws.u + cfg.polish_delta)
+        low = low & (ws.l > -INFTY)
+        up = up & (ws.u < INFTY) & ~low
+        x_pol, y_pol = _polish_solve(ws, Pinv, q, low, up, cfg)
+    return x_pol, y_pol
+
+
+def solve(ws: QPWorkspace, q, state: ADMMState, cfg: ADMMOptions) -> ADMMResult:
+    """Solve ``min 1/2 x'Px + q'x  s.t.  l <= Ax <= u`` from a warm start.
+
+    Structure: an outer ``while_loop`` whose body runs ``check_interval``
+    ADMM iterations (inner ``fori_loop``) and then evaluates termination and
+    infeasibility certificates — hoisting the (matvec-heavy) checks out of
+    the per-iteration path.
+    """
+    dtype = ws.P.dtype
+    qs = ws.c * ws.D * q  # scale the linear cost (the only changing input)
+    sigma = jnp.asarray(cfg.sigma, dtype)
+    alpha = jnp.asarray(cfg.alpha, dtype)
+    K = int(cfg.check_interval)
+
+    def admm_iter(_, s):
+        xs, zs, ys = s
+        rhs = sigma * xs - qs + ws.As.T @ (ws.rho_vec * zs - ys)
+        x_t = ws.Minv @ rhs
+        z_t = ws.As @ x_t
+        x_new = alpha * x_t + (1 - alpha) * xs
+        z_rel = alpha * z_t + (1 - alpha) * zs
+        z_new = jnp.clip(z_rel + ws.rho_inv * ys, ws.ls, ws.us)
+        y_new = ys + ws.rho_vec * (z_rel - z_new)
+        return x_new, z_new, y_new
+
+    def cond(carry):
+        _, _, _, _, _, it, status = carry
+        return (status == 0) & (it < cfg.max_iter)
+
+    def body(carry):
+        xs, zs, ys, xp, yp, it, status = carry
+        xs, zs, ys = lax.fori_loop(0, K, admm_iter, (xs, zs, ys))
+        it = it + K
+
+        r_prim, r_dual, psc, dsc = _residuals(ws, qs, xs, zs, ys)
+        eps_p = cfg.eps_abs + cfg.eps_rel * psc
+        eps_d = cfg.eps_abs + cfg.eps_rel * dsc
+        solved = (r_prim <= eps_p) & (r_dual <= eps_d)
+
+        prim_inf, dual_inf = _infeasibility(ws, qs, xs - xp, ys - yp, cfg)
+
+        status = jnp.where(solved, ADMM_SOLVED,
+                           jnp.where(prim_inf, ADMM_PRIMAL_INFEASIBLE,
+                                     jnp.where(dual_inf, ADMM_DUAL_INFEASIBLE,
+                                               status)))
+        return xs, zs, ys, xs, ys, it, status.astype(jnp.int32)
+
+    carry0 = (state.x, state.z, state.y, state.x, state.y,
+              jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
+    xs, zs, ys, _, _, iters, status = lax.while_loop(cond, body, carry0)
+    status = jnp.where(status == 0, ADMM_MAX_ITER, status)
+
+    # Unscale.
+    x_un = ws.D * xs
+    y_un = ws.E * ys / ws.c
+
+    if cfg.polish:
+        x_pol, y_pol = _polish(ws, q, x_un, y_un, cfg)
+        # Accept iff the polished point has smaller combined KKT residual.
+        def kkt_res(x, y):
+            Ax = ws.A @ x
+            rp = jnp.max(jnp.abs(Ax - jnp.clip(Ax, ws.l, ws.u)))
+            rd = jnp.max(jnp.abs(ws.P @ x + q + ws.A.T @ y))
+            # Complementary slackness AND dual feasibility: y > 0 requires
+            # z = u (so y on a u=+INFTY row is infinitely wrong — scored as
+            # |y| itself), symmetrically for y < 0.  Without the
+            # infinite-bound term a polish with a wrong active-set guess can
+            # produce a residual-zero but dual-infeasible point (e.g. a
+            # positive multiplier pushing on a lower bound), which would
+            # fake-converge the homotopy at a spurious stationary point.
+            du = jnp.where(y > 0,
+                           jnp.where(ws.u < INFTY, jnp.abs(Ax - ws.u), 1.0),
+                           0.0)
+            dl = jnp.where(y < 0,
+                           jnp.where(ws.l > -INFTY, jnp.abs(Ax - ws.l), 1.0),
+                           0.0)
+            rc = jnp.max(jnp.abs(y) * (du + dl))
+            return jnp.maximum(rp, jnp.maximum(rd, rc))
+
+        ok_numeric = jnp.all(jnp.isfinite(x_pol)) & jnp.all(jnp.isfinite(y_pol))
+        better = ok_numeric & (kkt_res(x_pol, y_pol) < kkt_res(x_un, y_un))
+        # Never polish an infeasibility certificate away.
+        can_polish = (status == ADMM_SOLVED) | (status == ADMM_MAX_ITER)
+        use = better & can_polish
+        x_fin = jnp.where(use, x_pol, x_un)
+        y_fin = jnp.where(use, y_pol, y_un)
+        # A polished max-iter solve that now satisfies the tolerances counts
+        # as solved (matches OSQP's "solved inaccurate -> polish" pathway).
+        r_prim, r_dual, psc, dsc = _residuals(
+            ws, qs, x_fin / ws.D, ws.E * jnp.clip(ws.A @ x_fin, ws.l, ws.u),
+            y_fin * ws.c / ws.E)
+        now_ok = (r_prim <= cfg.eps_abs + cfg.eps_rel * psc) & \
+                 (r_dual <= cfg.eps_abs + cfg.eps_rel * dsc)
+        status = jnp.where((status == ADMM_MAX_ITER) & use & now_ok,
+                           ADMM_SOLVED, status)
+    else:
+        x_fin, y_fin = x_un, y_un
+
+    new_state = ADMMState(x=xs, z=zs, y=ys)
+    return ADMMResult(x=x_fin, y=y_fin, status=status.astype(jnp.int32),
+                      iterations=iters, state=new_state)

@@ -1,0 +1,75 @@
+"""Output statistics.
+
+Mirrors the reference ``OutputStatistics``
+(``/root/reference/include/OutputStatistics.hpp:209-226``): scalar counters
+``iter_total``, ``iter_outer``, ``subproblem_iter``, ``rho_opt``,
+``solution_status``, ``qp_exit_flag``, plus — when ``Options.store_steps`` is
+enabled — per-iterate tracking vectors (``xSteps``, ``innerIters``,
+``subproblemIters``, ``accuSubproblemIters``, ``stepLength``, ``stepSize``,
+``statVals``, ``objVals``, ``phiVals``, ``meritVals``; update logic at
+``src/OutputStatistics.cpp:131-164``).
+
+TPU design: trajectories are preallocated buffers of static length
+``max_iterations + 2`` written via indexed updates inside the solver's
+``while_loop``; entry ``i`` corresponds to total iteration ``i`` and entries
+beyond ``iter_total`` are unwritten padding (NaN).  ``trim()`` slices them to
+the realized length on the host.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Trajectories:
+    """Per-iterate tracking buffers (``store_steps=True`` only)."""
+
+    x_steps: jnp.ndarray            # (T, nV)
+    inner_iters: jnp.ndarray        # (T,) int32
+    subproblem_iters: jnp.ndarray   # (T,) int32
+    accu_subproblem_iters: jnp.ndarray  # (T,) int32
+    step_length: jnp.ndarray        # (T,)  alpha_k
+    step_size: jnp.ndarray          # (T,)  ||p_k||_inf
+    stat_vals: jnp.ndarray          # (T,)  ||stat_k||_inf
+    obj_vals: jnp.ndarray           # (T,)
+    phi_vals: jnp.ndarray           # (T,)
+    merit_vals: jnp.ndarray         # (T,)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Stats:
+    """Scalar solve statistics (reference ``OutputStatistics.hpp:209-214``)."""
+
+    iter_total: jnp.ndarray       # () int32
+    iter_outer: jnp.ndarray       # () int32
+    subproblem_iter: jnp.ndarray  # () int32  (accumulated inner-QP iterations)
+    rho_opt: jnp.ndarray          # ()   penalty value at termination
+    solution_status: jnp.ndarray  # () int32  AlgorithmStatus
+    qp_exit_flag: jnp.ndarray     # () int32  last inner-QP status
+    trajectories: Optional[Trajectories] = None
+
+    def trim(self) -> "Stats":
+        """Host-side: slice trajectory buffers to the realized iteration count."""
+        if self.trajectories is None:
+            return self
+        n = int(self.iter_total)
+        t = self.trajectories
+        return dataclasses.replace(self, trajectories=Trajectories(
+            x_steps=t.x_steps[:n],
+            inner_iters=t.inner_iters[:n],
+            subproblem_iters=t.subproblem_iters[:n],
+            accu_subproblem_iters=t.accu_subproblem_iters[:n],
+            step_length=t.step_length[:n],
+            step_size=t.step_size[:n],
+            stat_vals=t.stat_vals[:n],
+            obj_vals=t.obj_vals[:n],
+            phi_vals=t.phi_vals[:n],
+            merit_vals=t.merit_vals[:n],
+        ))

@@ -1,0 +1,35 @@
+"""Test configuration: run the suite on a virtual 8-device CPU mesh.
+
+Multi-chip hardware is not available in CI; sharding behavior is validated on
+``--xla_force_host_platform_device_count=8`` CPU devices (the driver
+separately dry-run-compiles the multi-chip path via ``__graft_entry__.py``).
+Set ``LCQPOW_TPU_TEST_TPU=1`` to run on the real TPU backend instead.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+if os.environ.get("LCQPOW_TPU_TEST_TPU", "0") != "1":
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8")
+    import jax
+
+    # In the axon environment the TPU plugin registers itself and sets
+    # jax_platforms="axon,cpu"; selecting "cpu" before first backend use keeps
+    # the whole suite on the local CPU client (fast local compiles, no device
+    # claim).  Outside axon this is equivalent to JAX_PLATFORMS=cpu.
+    jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def eight_devices():
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    return jax.devices()[:8]
