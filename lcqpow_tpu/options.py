@@ -41,9 +41,11 @@ class ADMMOptions:
     rho_eq_scale: float = 1e3   # equality rows (l==u) use rho*rho_eq_scale
     sigma: float = 1e-6         # proximal regularization
     alpha: float = 1.6          # relaxation
-    eps_abs: float = 1e-9       # absolute tolerance (tighter than OSQP's 1e-3:
-    eps_rel: float = 1e-9       #   iterations are cheap when batched on TPU and
-                                #   the homotopy needs accurate subproblem duals)
+    eps_abs: float = 1e-6       # ADMM tolerance (tighter than OSQP's 1e-3 but
+    eps_rel: float = 1e-6       #   deliberately loose in absolute terms: the
+                                #   polish-first active-set solve is the
+                                #   accuracy engine and verifies candidates to
+                                #   this same test at machine precision)
     eps_prim_inf: float = 1e-11  # infeasibility-certificate tolerance
     eps_dual_inf: float = 1e-11
     max_iter: int = 4000

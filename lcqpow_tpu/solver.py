@@ -160,7 +160,8 @@ def build_workspace(data: LCQPData, options: Options) -> admm.QPWorkspace:
     A_int = jnp.concatenate([data.A_full, eye], axis=0)
     l_int = jnp.concatenate([data.lbA_full, data.lb])
     u_int = jnp.concatenate([data.ubA_full, data.ub])
-    return admm.factorize(data.Q, A_int, l_int, u_int, options.admm)
+    return admm.factorize(data.Q, A_int, l_int, u_int, options.admm,
+                          q_proto=data.g)
 
 
 def solve(data: LCQPData, options: Options = Options(),

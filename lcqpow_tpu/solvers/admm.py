@@ -81,6 +81,10 @@ class QPWorkspace:
     # Per-row ADMM penalties (scaled space).
     rho_vec: jnp.ndarray   # (m,)
     rho_inv: jnp.ndarray   # (m,)
+    eq_mask: jnp.ndarray   # (m,) bool: equality rows (l == u)
+    # Cached delta-regularized Hessian inverse for the polish step
+    # (P is homotopy-invariant, so this is also one-time).
+    Pinv_d: jnp.ndarray    # (n, n)
     # Explicit inverse of M = Ps + sigma*I + As' diag(rho) As.
     # An inverse (not a factorization) is deliberate TPU design: the hot ADMM
     # step becomes a single MXU matmul instead of two sequential triangular
@@ -149,10 +153,20 @@ def _ruiz_equilibrate(P, A, q_proto, n_iters: int = 10):
 
     D, E, c, Ps, As, qs = lax.fori_loop(0, n_iters, body,
                                         (D, E, c, Ps, As, qs))
+    # Bound the cumulative scalings (OSQP clamps its scaling factors too) and
+    # rebuild the scaled data consistently from the clipped D/E/c.  Unbounded
+    # E on structurally-tiny rows (e.g. never-active box rows of weakly
+    # curved variables) would otherwise blow scaled bounds up to
+    # INFTY*1e6-scale values and wreck the iteration's dynamic range.
+    D = jnp.clip(D, 1e-3, 1e3)
+    E = jnp.clip(E, 1e-3, 1e3)
+    c = jnp.clip(c, 1e-4, 1e4)
+    Ps = c * D[:, None] * P * D[None, :]
+    As = E[:, None] * A * D[None, :]
     return D, E, c, Ps, As
 
 
-def factorize(P, A, l, u, cfg: ADMMOptions) -> QPWorkspace:
+def factorize(P, A, l, u, cfg: ADMMOptions, q_proto=None) -> QPWorkspace:
     """One-time setup: equilibrate, pick per-row penalties, invert M.
 
     This is the TPU analogue of the reference's single KKT factorization that
@@ -162,7 +176,14 @@ def factorize(P, A, l, u, cfg: ADMMOptions) -> QPWorkspace:
     l = jnp.clip(jnp.asarray(l, dtype), -INFTY, INFTY)
     u = jnp.clip(jnp.asarray(u, dtype), -INFTY, INFTY)
 
-    D, E, c, Ps, As = _ruiz_equilibrate(P, A, jnp.zeros(P.shape[-1], dtype))
+    # The cost-normalization leg of Ruiz needs a representative gradient —
+    # with q_proto=0 the gamma recursion is unanchored and can diverge when
+    # most Hessian columns are structurally (near-)zero, e.g. lifted
+    # complementarity variables with 5e-12 regularization
+    # (examples/OptimizeOnCircle.cpp:67-68).
+    if q_proto is None:
+        q_proto = jnp.zeros(P.shape[-1], dtype)
+    D, E, c, Ps, As = _ruiz_equilibrate(P, A, jnp.asarray(q_proto, dtype))
 
     ls = E * l
     us = E * u
@@ -178,10 +199,12 @@ def factorize(P, A, l, u, cfg: ADMMOptions) -> QPWorkspace:
     n = P.shape[-1]
     M = Ps + cfg.sigma * jnp.eye(n, dtype=dtype) + (As * rho[:, None]).T @ As
     Minv = spd_inverse(M)
+    Pinv_d = spd_inverse(P + cfg.polish_delta * jnp.eye(n, dtype=dtype))
 
     return QPWorkspace(P=P, A=A, l=l, u=u, D=D, E=E, c=c,
                        Ps=Ps, As=As, ls=ls, us=us,
-                       rho_vec=rho, rho_inv=1.0 / rho, Minv=Minv)
+                       rho_vec=rho, rho_inv=1.0 / rho, eq_mask=eq,
+                       Pinv_d=Pinv_d, Minv=Minv)
 
 
 def init_state(ws: QPWorkspace, x0=None, y0=None) -> ADMMState:
@@ -248,10 +271,10 @@ def _infeasibility(ws: QPWorkspace, qs, dxs, dys, cfg: ADMMOptions):
     return prim_inf, dual_inf
 
 
-def _polish_solve(ws: QPWorkspace, Pinv, q, low, up, cfg: ADMMOptions):
+def _polish_solve(ws: QPWorkspace, q, low, up, cfg: ADMMOptions):
     """Solve the equality-KKT system on the masked active set via a
     delta-regularized Schur complement + iterative refinement.  Fixed shapes,
-    branchless."""
+    branchless.  Uses the cached ``ws.Pinv_d``."""
     dtype = ws.P.dtype
     delta = jnp.asarray(cfg.polish_delta, dtype)
     act = low | up
@@ -260,11 +283,11 @@ def _polish_solve(ws: QPWorkspace, Pinv, q, low, up, cfg: ADMMOptions):
     b = jnp.clip(b, -INFTY, INFTY) * mf
 
     G = ws.A * mf[:, None]          # masked (zeroed inactive rows)
-    S = G @ (Pinv @ G.T) + jnp.diag(jnp.where(act, delta, 1.0))
+    S = G @ (ws.Pinv_d @ G.T) + jnp.diag(jnp.where(act, delta, 1.0))
     Sinv = spd_inverse(S)
 
-    nu = Sinv @ (-(b + G @ (Pinv @ q)))
-    x_pol = -(Pinv @ (q + G.T @ nu))
+    nu = Sinv @ (-(b + G @ (ws.Pinv_d @ q)))
+    x_pol = -(ws.Pinv_d @ (q + G.T @ nu))
 
     # Iterative refinement against the *unregularized* KKT system (also
     # absorbs the error of the explicit inverses).
@@ -272,65 +295,114 @@ def _polish_solve(ws: QPWorkspace, Pinv, q, low, up, cfg: ADMMOptions):
         x_pol, nu = carry
         r1 = ws.P @ x_pol + q + G.T @ nu
         r2 = G @ x_pol - b
-        dnu = Sinv @ (r2 - G @ (Pinv @ r1))
-        dx = -(Pinv @ (r1 + G.T @ dnu))
+        dnu = Sinv @ (r2 - G @ (ws.Pinv_d @ r1))
+        dx = -(ws.Pinv_d @ (r1 + G.T @ dnu))
         return x_pol + dx, nu + dnu
 
     x_pol, nu = lax.fori_loop(0, cfg.polish_refine_iter, refine, (x_pol, nu))
     return x_pol, jnp.where(act, nu, 0.0)
 
 
-def _polish(ws: QPWorkspace, q, x, y, cfg: ADMMOptions):
-    """Solution polish with active-set refinement, branchless, fixed shapes.
+def _polish(ws: QPWorkspace, q, y, cfg: ADMMOptions):
+    """Exact active-set solve seeded from dual signs, with bounded
+    active-set refinement.  Branchless, fixed shapes.
 
-    The ADMM dual signs seed the active set (y<0: lower-active, y>0:
-    upper-active, OSQP convention); the masked equality-KKT solve then
-    *refines* it for a few rounds — rows whose multiplier comes out
+    The dual signs seed the active set (y<0: lower-active, y>0: upper-active,
+    OSQP convention; equality rows unconditionally active); the masked
+    equality-KKT solve then *refines* it — rows whose multiplier comes out
     wrong-signed are dropped, rows the candidate point violates are added.
-    This is a bounded exact active-set iteration on top of ADMM's guess: it
-    recovers machine-precision primal/dual solutions (the accuracy the
-    reference gets from qpOASES' active-set solves and OSQP's ``polish=true``
-    default, ``src/Options.cpp:332``) and also rescues subproblems where an
-    unconverged/stale warm start seeded a wrong guess.
-    Operates fully in unscaled space (like OSQP's polish).
+    This is a bounded exact active-set iteration: it recovers
+    machine-precision primal/dual solutions (the accuracy the reference gets
+    from qpOASES' active-set solves and OSQP's ``polish=true`` default,
+    ``src/Options.cpp:332``).  Operates fully in unscaled space.
     """
-    n = ws.P.shape[-1]
-    dtype = ws.P.dtype
-    delta = jnp.asarray(cfg.polish_delta, dtype)
+    low = ws.eq_mask | ((y < 0) & (ws.l > -INFTY))
+    up = (y > 0) & (ws.u < INFTY) & ~low
 
-    # Seed from dual signs, restricted to rows whose selected bound is finite
-    # (a "negative" dual on a -INFTY-bounded row is warm-start noise).
-    low = (y < 0) & (ws.l > -INFTY)
-    up = (y > 0) & (ws.u < INFTY)
-
-    Pd = ws.P + delta * jnp.eye(n, dtype=dtype)
-    Pinv = spd_inverse(Pd)
-
-    x_pol, y_pol = _polish_solve(ws, Pinv, q, low, up, cfg)
+    x_pol, y_pol = _polish_solve(ws, q, low, up, cfg)
     for _ in range(int(cfg.polish_active_set_rounds)):
         Ax = ws.A @ x_pol
-        # Drop wrong-signed multipliers; add violated rows.
-        low = (low & (y_pol < 0)) | (Ax < ws.l - cfg.polish_delta)
+        # Drop wrong-signed multipliers; add violated rows; keep equalities.
+        low = (low & (y_pol < 0)) | (Ax < ws.l - cfg.polish_delta) | ws.eq_mask
         up = (up & (y_pol > 0)) | (Ax > ws.u + cfg.polish_delta)
         low = low & (ws.l > -INFTY)
         up = up & (ws.u < INFTY) & ~low
-        x_pol, y_pol = _polish_solve(ws, Pinv, q, low, up, cfg)
+        x_pol, y_pol = _polish_solve(ws, q, low, up, cfg)
     return x_pol, y_pol
+
+
+def _kkt_ok(ws: QPWorkspace, q, x, y, cfg: ADMMOptions):
+    """Full KKT acceptance test (unscaled): primal feasibility, stationarity,
+    complementary slackness AND dual-sign feasibility.
+
+    The dual-sign term matters: an exact equality-KKT solve with a wrong
+    active-set guess yields a residual-zero but dual-infeasible point (e.g. a
+    positive multiplier pushing on a lower bound, or any multiplier on an
+    infinite bound); accepting it would fake-converge the homotopy at a
+    spurious stationary point.
+    """
+    Ax = ws.A @ x
+    rp = jnp.max(jnp.abs(Ax - jnp.clip(Ax, ws.l, ws.u)))
+    rd = jnp.max(jnp.abs(ws.P @ x + q + ws.A.T @ y))
+    psc = jnp.max(jnp.abs(Ax))
+    dsc = jnp.maximum(jnp.maximum(jnp.max(jnp.abs(ws.P @ x)),
+                                  jnp.max(jnp.abs(ws.A.T @ y))),
+                      jnp.max(jnp.abs(q)))
+    # y > 0 requires z = u (a dual on a u=+INFTY row is infinitely wrong —
+    # scored as |y| itself); symmetrically for y < 0.  Equality rows carry
+    # free-signed multipliers.
+    du = jnp.where((y > 0) & ~ws.eq_mask,
+                   jnp.where(ws.u < INFTY, jnp.abs(Ax - ws.u), 1.0), 0.0)
+    dl = jnp.where((y < 0) & ~ws.eq_mask,
+                   jnp.where(ws.l > -INFTY, jnp.abs(Ax - ws.l), 1.0), 0.0)
+    rc = jnp.max(jnp.abs(y) * (du + dl))
+    eps_p = cfg.eps_abs + cfg.eps_rel * psc
+    eps_d = cfg.eps_abs + cfg.eps_rel * dsc
+    eps_c = (cfg.eps_abs + cfg.eps_rel * dsc) * (1.0 + psc)
+    finite = jnp.all(jnp.isfinite(x)) & jnp.all(jnp.isfinite(y))
+    return finite & (rp <= eps_p) & (rd <= eps_d) & (rc <= eps_c)
+
+
+def _state_of(ws: QPWorkspace, x, y):
+    """Scaled ADMM state consistent with an (unscaled) primal/dual point."""
+    xs = x / ws.D
+    zs = ws.E * jnp.clip(ws.A @ x, ws.l, ws.u)
+    ys = y * ws.c / ws.E
+    return ADMMState(x=xs, z=zs, y=ys)
 
 
 def solve(ws: QPWorkspace, q, state: ADMMState, cfg: ADMMOptions) -> ADMMResult:
     """Solve ``min 1/2 x'Px + q'x  s.t.  l <= Ax <= u`` from a warm start.
 
-    Structure: an outer ``while_loop`` whose body runs ``check_interval``
-    ADMM iterations (inner ``fori_loop``) and then evaluates termination and
-    infeasibility certificates — hoisting the (matvec-heavy) checks out of
-    the per-iteration path.
+    Polish-first architecture (the TPU analogue of a qpOASES hotstart with
+    few active-set pivots, ``src/SubsolverQPOASES.cpp:154-160``):
+
+    1. Attempt an exact active-set solve seeded by the warm-start duals;
+       across homotopy steps the active set rarely changes, so this usually
+       succeeds immediately — one factorized solve per subproblem.
+    2. Otherwise run ADMM as the active-set *predictor*: every
+       ``check_interval`` iterations, test plain convergence, OSQP
+       infeasibility certificates, and retry the polish from the current
+       duals.  The first candidate passing the full KKT test wins.
     """
     dtype = ws.P.dtype
     qs = ws.c * ws.D * q  # scale the linear cost (the only changing input)
     sigma = jnp.asarray(cfg.sigma, dtype)
     alpha = jnp.asarray(cfg.alpha, dtype)
     K = int(cfg.check_interval)
+
+    x_un0 = ws.D * state.x
+    y_un0 = ws.E * state.y / ws.c
+
+    if cfg.polish:
+        x_try, y_try = _polish(ws, q, y_un0, cfg)
+        ok0 = _kkt_ok(ws, q, x_try, y_try, cfg)
+        x_out0 = jnp.where(ok0, x_try, x_un0)
+        y_out0 = jnp.where(ok0, y_try, y_un0)
+        status0 = jnp.where(ok0, ADMM_SOLVED, 0).astype(jnp.int32)
+    else:
+        x_out0, y_out0 = x_un0, y_un0
+        status0 = jnp.zeros((), jnp.int32)
 
     def admm_iter(_, s):
         xs, zs, ys = s
@@ -344,78 +416,60 @@ def solve(ws: QPWorkspace, q, state: ADMMState, cfg: ADMMOptions) -> ADMMResult:
         return x_new, z_new, y_new
 
     def cond(carry):
-        _, _, _, _, _, it, status = carry
+        status = carry[5]
+        it = carry[6]
         return (status == 0) & (it < cfg.max_iter)
 
     def body(carry):
-        xs, zs, ys, xp, yp, it, status = carry
+        xs, zs, ys, xp, yp, status, it, x_out, y_out = carry
         xs, zs, ys = lax.fori_loop(0, K, admm_iter, (xs, zs, ys))
         it = it + K
+
+        x_un = ws.D * xs
+        y_un = ws.E * ys / ws.c
 
         r_prim, r_dual, psc, dsc = _residuals(ws, qs, xs, zs, ys)
         eps_p = cfg.eps_abs + cfg.eps_rel * psc
         eps_d = cfg.eps_abs + cfg.eps_rel * dsc
-        solved = (r_prim <= eps_p) & (r_dual <= eps_d)
+        solved_admm = (r_prim <= eps_p) & (r_dual <= eps_d)
 
         prim_inf, dual_inf = _infeasibility(ws, qs, xs - xp, ys - yp, cfg)
 
-        status = jnp.where(solved, ADMM_SOLVED,
+        if cfg.polish:
+            x_po, y_po = _polish(ws, q, y_un, cfg)
+            ok_po = _kkt_ok(ws, q, x_po, y_po, cfg)
+        else:
+            x_po, y_po = x_un, y_un
+            ok_po = jnp.asarray(False)
+
+        done_ok = ok_po | solved_admm
+        x_out = jnp.where(done_ok, jnp.where(ok_po, x_po, x_un), x_out)
+        y_out = jnp.where(done_ok, jnp.where(ok_po, y_po, y_un), y_out)
+        status = jnp.where(done_ok, ADMM_SOLVED,
                            jnp.where(prim_inf, ADMM_PRIMAL_INFEASIBLE,
                                      jnp.where(dual_inf, ADMM_DUAL_INFEASIBLE,
                                                status)))
-        return xs, zs, ys, xs, ys, it, status.astype(jnp.int32)
+        return (xs, zs, ys, xs, ys, status.astype(jnp.int32), it,
+                x_out, y_out)
 
     carry0 = (state.x, state.z, state.y, state.x, state.y,
-              jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
-    xs, zs, ys, _, _, iters, status = lax.while_loop(cond, body, carry0)
-    status = jnp.where(status == 0, ADMM_MAX_ITER, status)
+              status0, jnp.zeros((), jnp.int32), x_out0, y_out0)
+    xs, zs, ys, _, _, status, iters, x_out, y_out = \
+        lax.while_loop(cond, body, carry0)
 
-    # Unscale.
-    x_un = ws.D * xs
-    y_un = ws.E * ys / ws.c
+    hit_max = status == 0
+    status = jnp.where(hit_max, ADMM_MAX_ITER, status).astype(jnp.int32)
+    # On max-iter, expose the (unconverged) final iterate.
+    x_out = jnp.where(hit_max, ws.D * xs, x_out)
+    y_out = jnp.where(hit_max, ws.E * ys / ws.c, y_out)
 
-    if cfg.polish:
-        x_pol, y_pol = _polish(ws, q, x_un, y_un, cfg)
-        # Accept iff the polished point has smaller combined KKT residual.
-        def kkt_res(x, y):
-            Ax = ws.A @ x
-            rp = jnp.max(jnp.abs(Ax - jnp.clip(Ax, ws.l, ws.u)))
-            rd = jnp.max(jnp.abs(ws.P @ x + q + ws.A.T @ y))
-            # Complementary slackness AND dual feasibility: y > 0 requires
-            # z = u (so y on a u=+INFTY row is infinitely wrong — scored as
-            # |y| itself), symmetrically for y < 0.  Without the
-            # infinite-bound term a polish with a wrong active-set guess can
-            # produce a residual-zero but dual-infeasible point (e.g. a
-            # positive multiplier pushing on a lower bound), which would
-            # fake-converge the homotopy at a spurious stationary point.
-            du = jnp.where(y > 0,
-                           jnp.where(ws.u < INFTY, jnp.abs(Ax - ws.u), 1.0),
-                           0.0)
-            dl = jnp.where(y < 0,
-                           jnp.where(ws.l > -INFTY, jnp.abs(Ax - ws.l), 1.0),
-                           0.0)
-            rc = jnp.max(jnp.abs(y) * (du + dl))
-            return jnp.maximum(rp, jnp.maximum(rd, rc))
+    # Keep the warm-start state consistent with what we return when solved;
+    # otherwise carry the raw ADMM state forward.
+    sol_state = _state_of(ws, x_out, y_out)
+    raw_state = ADMMState(x=xs, z=zs, y=ys)
+    new_state = jax.tree.map(
+        lambda a, b: jnp.where(status == ADMM_SOLVED, a, b),
+        sol_state, raw_state)
 
-        ok_numeric = jnp.all(jnp.isfinite(x_pol)) & jnp.all(jnp.isfinite(y_pol))
-        better = ok_numeric & (kkt_res(x_pol, y_pol) < kkt_res(x_un, y_un))
-        # Never polish an infeasibility certificate away.
-        can_polish = (status == ADMM_SOLVED) | (status == ADMM_MAX_ITER)
-        use = better & can_polish
-        x_fin = jnp.where(use, x_pol, x_un)
-        y_fin = jnp.where(use, y_pol, y_un)
-        # A polished max-iter solve that now satisfies the tolerances counts
-        # as solved (matches OSQP's "solved inaccurate -> polish" pathway).
-        r_prim, r_dual, psc, dsc = _residuals(
-            ws, qs, x_fin / ws.D, ws.E * jnp.clip(ws.A @ x_fin, ws.l, ws.u),
-            y_fin * ws.c / ws.E)
-        now_ok = (r_prim <= cfg.eps_abs + cfg.eps_rel * psc) & \
-                 (r_dual <= cfg.eps_abs + cfg.eps_rel * dsc)
-        status = jnp.where((status == ADMM_MAX_ITER) & use & now_ok,
-                           ADMM_SOLVED, status)
-    else:
-        x_fin, y_fin = x_un, y_un
-
-    new_state = ADMMState(x=xs, z=zs, y=ys)
-    return ADMMResult(x=x_fin, y=y_fin, status=status.astype(jnp.int32),
+    return ADMMResult(x=x_out, y=y_out, status=status,
                       iterations=iters, state=new_state)
