@@ -33,25 +33,38 @@ def solve_batch(data: LCQPData, options: Options = Options(),
     meaningless); per-instance statistics are returned instead.
     """
     options = options.replace(print_level=PrintLevel.NONE)
-    batch = jax.tree.leaves(data)[0].shape[0]
+    leaf = jax.tree.leaves(data)[0]
+    batch = leaf.shape[0]
     if key is None:
         key = jax.random.PRNGKey(options.seed)
     keys = jax.random.split(key, batch)
+    # vmap requires every mapped input's batch axis to share one sharding;
+    # match the per-instance keys to the (possibly mesh-sharded) data.
+    from jax.sharding import NamedSharding, PartitionSpec
+    sh = getattr(leaf, "sharding", None)
+    if isinstance(sh, NamedSharding) and len(sh.spec) and sh.spec[0] is not None:
+        keys = jax.device_put(
+            keys, NamedSharding(sh.mesh, PartitionSpec(sh.spec[0])))
 
-    # x0/y0 presence is static; build the matching positional vmap.
+    # x0/y0 presence is static; build the matching positional vmap.  The
+    # vmapped solve runs under jit so XLA propagates any mesh sharding on the
+    # inputs through the whole batched program (eager vmap would instead
+    # require identical shardings on every mapped input).
     if x0 is not None and y0 is not None:
-        vf = jax.vmap(lambda d, k, a, b: solve(d, options, x0=a, y0=b, key=k),
-                      in_axes=(0, 0, 0, 0))
+        vf = jax.jit(jax.vmap(
+            lambda d, k, a, b: solve(d, options, x0=a, y0=b, key=k),
+            in_axes=(0, 0, 0, 0)))
         return vf(data, keys, x0, y0)
     if x0 is not None:
-        vf = jax.vmap(lambda d, k, a: solve(d, options, x0=a, key=k),
-                      in_axes=(0, 0, 0))
+        vf = jax.jit(jax.vmap(lambda d, k, a: solve(d, options, x0=a, key=k),
+                              in_axes=(0, 0, 0)))
         return vf(data, keys, x0)
     if y0 is not None:
-        vf = jax.vmap(lambda d, k, b: solve(d, options, y0=b, key=k),
-                      in_axes=(0, 0, 0))
+        vf = jax.jit(jax.vmap(lambda d, k, b: solve(d, options, y0=b, key=k),
+                              in_axes=(0, 0, 0)))
         return vf(data, keys, y0)
-    vf = jax.vmap(lambda d, k: solve(d, options, key=k), in_axes=(0, 0))
+    vf = jax.jit(jax.vmap(lambda d, k: solve(d, options, key=k),
+                          in_axes=(0, 0)))
     return vf(data, keys)
 
 

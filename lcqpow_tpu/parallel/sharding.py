@@ -31,9 +31,15 @@ BATCH_AXIS = "batch"
 
 
 def make_mesh(devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
-    """1-D mesh over all (or the given) devices, axis name ``"batch"``."""
+    """1-D mesh over all (or the given) devices, axis name ``"batch"``.
+
+    Axes are ``Auto`` (classic GSPMD): input shardings act as placement
+    hints and XLA propagates them through the whole batched program — the
+    right model for an embarrassingly parallel instance sweep.
+    """
     devices = list(devices) if devices is not None else jax.devices()
     return jax.make_mesh((len(devices),), (BATCH_AXIS,),
+                         axis_types=(jax.sharding.AxisType.Auto,),
                          devices=devices)
 
 
