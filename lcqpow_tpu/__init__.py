@@ -35,7 +35,9 @@ from .stats import Stats, Trajectories
 from .solver import Solution, solve
 from .batch import solve_batch
 from .compat import LCQProblem
+from .messages import message, print_message, print_solution, solution_banner
 from . import io
+from . import messages
 from . import ops
 from . import parallel
 
@@ -49,5 +51,6 @@ __all__ = [
     "Stats", "Trajectories",
     "Solution", "solve", "solve_batch",
     "LCQProblem",
-    "io", "ops", "parallel",
+    "message", "print_message", "print_solution", "solution_banner",
+    "io", "messages", "ops", "parallel",
 ]

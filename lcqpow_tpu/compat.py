@@ -28,10 +28,12 @@ Both snake_case and the reference's camelCase method names are provided.
 
 from __future__ import annotations
 
+import time
 from typing import Optional
 
 import numpy as np
 
+from . import messages
 from .data import LCQPData, LCQPError, make_lcqp
 from .io import load_lcqp_from_files, read_vector
 from .options import Options
@@ -165,9 +167,25 @@ class LCQProblem:
             # (:936-948; the reference's byte-count bug there is fixed here).
             y0 = y0[self.nV:]
 
+        t0 = time.perf_counter()
         self._solution = solve(self._data, self._options,
                                x0=self._x0, y0=y0)
-        return ReturnValue(int(self._solution.ret))
+        ret = ReturnValue(int(self._solution.ret))  # device sync
+        # Wall-clock of the solve, like the MATLAB interface's
+        # stats.elapsed_time (interfaces/matlab/LCQPow.cpp:882-916).  Note:
+        # includes JIT compilation on the first solve of a given shape.
+        self.elapsed_time = time.perf_counter() - t0
+        # Reference reporting: the boxed stationarity banner on success
+        # (runSolver :520-524 -> MessageHandler::PrintSolution) and the
+        # ReturnValue message on failure (PrintMessage), both gated by the
+        # print level.
+        from .types import PrintLevel
+        if self._options.print_level > PrintLevel.NONE:
+            if ret == ReturnValue.SUCCESSFUL_RETURN:
+                messages.print_solution(int(self._solution.algo_status))
+            else:
+                messages.print_message(ret)
+        return ret
 
     # --------------------------------------------------------------- getters
     def n_duals(self) -> int:

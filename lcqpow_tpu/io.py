@@ -21,12 +21,26 @@ from .data import LCQPData, make_lcqp
 
 
 def read_vector(path: str) -> np.ndarray:
-    """Whitespace-separated doubles, any line structure."""
+    """Whitespace-separated doubles, any line structure.  Uses the native
+    C++ parser (:mod:`lcqpow_tpu.native`) when available."""
+    try:
+        from .native import read_doubles_native
+        out = read_doubles_native(path)
+        if out is not None:
+            return out
+    except ImportError:
+        pass
     with open(path) as f:
         return np.array([float(t) for t in f.read().split()], dtype=np.float64)
 
 
 def write_vector(path: str, values) -> None:
+    try:
+        from .native import write_doubles_native
+        if write_doubles_native(path, values):
+            return
+    except ImportError:
+        pass
     vals = np.asarray(values, dtype=np.float64).reshape(-1)
     with open(path, "w") as f:
         f.write("\n".join(f"{v:.16g}" for v in vals))

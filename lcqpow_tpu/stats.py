@@ -55,6 +55,33 @@ class Stats:
     qp_exit_flag: jnp.ndarray     # () int32  last inner-QP status
     trajectories: Optional[Trajectories] = None
 
+    # Reference-style getters (OutputStatistics get* pairs,
+    # include/OutputStatistics.hpp:96-205), for ports of existing code.
+    def get_iter_total(self) -> int:
+        return int(self.iter_total)
+
+    def get_iter_outer(self) -> int:
+        return int(self.iter_outer)
+
+    def get_subproblem_iter(self) -> int:
+        return int(self.subproblem_iter)
+
+    def get_rho_opt(self) -> float:
+        return float(self.rho_opt)
+
+    def get_solution_status(self) -> int:
+        return int(self.solution_status)
+
+    def get_qp_solver_exit_flag(self) -> int:
+        return int(self.qp_exit_flag)
+
+    getIterTotal = get_iter_total
+    getIterOuter = get_iter_outer
+    getSubproblemIter = get_subproblem_iter
+    getRhoOpt = get_rho_opt
+    getSolutionStatus = get_solution_status
+    getQPSolverExitFlag = get_qp_solver_exit_flag
+
     def trim(self) -> "Stats":
         """Host-side: slice trajectory buffers to the realized iteration count."""
         if self.trajectories is None:
