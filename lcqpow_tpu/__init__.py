@@ -34,6 +34,7 @@ from .data import LCQPData, LCQPError, make_lcqp, pad_lcqp, stack_lcqps
 from .stats import Stats, Trajectories
 from .solver import Solution, solve
 from .batch import solve_batch
+from .mixed import solve_mixed, solve_batch_mixed
 from .compat import LCQProblem
 from .messages import message, print_message, print_solution, solution_banner
 from . import io
@@ -49,7 +50,7 @@ __all__ = [
     "ADMMOptions", "Options",
     "LCQPData", "LCQPError", "make_lcqp", "pad_lcqp", "stack_lcqps",
     "Stats", "Trajectories",
-    "Solution", "solve", "solve_batch",
+    "Solution", "solve", "solve_batch", "solve_mixed", "solve_batch_mixed",
     "LCQProblem",
     "message", "print_message", "print_solution", "solution_banner",
     "io", "messages", "ops", "parallel",

@@ -1,0 +1,392 @@
+"""Mixed-precision solve: f32 predictor + compensated-f32 corrector.
+
+TPU v5e-class chips have no native float64 — XLA emulates it at ~1 GFLOP/s
+(measured ~1000x slower than f32 on this part), so ANY f64 inner loop
+dominates the runtime.  The reference needs ~1e-14 accuracy because its
+default tolerances are near machine precision (complementarityTolerance
+~2.2e-13, ``/root/reference/src/Options.cpp:297``).  This module gets both
+speed and accuracy with a two-stage design that never runs f64 on the hot
+path:
+
+1. **Predictor (f32, fast):** the full homotopy solver (:func:`solver.solve`)
+   runs in float32 with tolerances loosened to f32-meaningful values.  This
+   resolves everything *combinatorial*: the final penalty ``rho``, the active
+   set, and which branch of each complementarity pair is taken.
+2. **Corrector (compensated f32):** a bounded continuation of the homotopy
+   (the tail of ``runSolver``, ``src/LCQProblem.cpp:476-559``) in which each
+   pass solves the linearized QP's active-set KKT system by **mixed-precision
+   iterative refinement**: a plain-f32 delta-regularized Schur complement is
+   the preconditioner, and residuals are evaluated in **double-word f32
+   arithmetic** (:mod:`lcqpow_tpu.ops.df32`, ~2^-48 unit roundoff) against
+   the exactly-split problem data.  Lanes still needing complementarity
+   progress continue the geometric ``rho`` schedule (penalty update when
+   stationary-but-not-complementary, ``:528-533``).
+3. **Certification:** stationarity and complementarity are evaluated in df32
+   against the *original* (reference-default) tolerances; duals are
+   transformed (``:1381-1409``) and the point S/M/C/W-classified
+   (``:1412-1453``).  A lane only reports ``SUCCESSFUL_RETURN`` if the
+   certificate holds.  Failure modes mirror the reference
+   (``MAX_PENALTY_REACHED`` on penalty-cap, pass budget as
+   ``MAX_ITERATIONS_REACHED``).
+
+Everything in stages 2-3 is float32 storage and VPU-elementwise f32 compute;
+the ~1e-14 effective precision comes from error-free transformations, not
+from the hardware.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .constants import INFTY
+from .data import LCQPData
+from .options import Options
+from .ops import df32
+from .ops.chol import spd_inverse
+from .ops.df32 import DF
+from .solver import Solution, solve
+from .stats import Stats
+from .types import AlgorithmStatus, PrintLevel, ReturnValue
+
+# f32-meaningful floors for the predictor tolerances (values are O(1) after
+# Ruiz equilibration; float32 eps ~1.19e-7).
+_STAT_TOL_F32 = 5e-5
+_COMPL_TOL_F32 = 1e-5
+# Schur regularization of the corrector's f32 preconditioner.  The
+# preconditioner solves a delta-REGULARIZED correction, so each refinement
+# step contracts the true-KKT residual by ~max(cond(S)*eps32, delta*||Pinv||);
+# delta trades per-step contraction against preconditioner fidelity.
+_DELTA = 1e-5
+# df32 refinement steps per KKT solve: with degenerate (dependent) active
+# rows the contraction can be as slow as ~0.05/step, so budget enough steps
+# to cross from f32 seeds (~1e-7) to the certificate tolerance (2.2e-13).
+_REFINE_STEPS = 9
+
+
+def _predictor_options(options: Options) -> Options:
+    """f32-meaningful tolerances for the predictor, homotopy AND inner ADMM.
+
+    The inner-solver floors matter as much as the homotopy ones: with the f64
+    defaults (eps 1e-6, polish_delta 1e-8 — at or below f32 resolution) a
+    lane whose polish certificate can't numerically pass falls into the full
+    ADMM iteration budget, and the lockstep batch pays that tail at every
+    homotopy step (measured: 100x slowdowns at batch >= 256).
+    """
+    a = options.admm
+    admm_cfg = dataclasses.replace(
+        a,
+        eps_abs=max(a.eps_abs, 1e-5),
+        eps_rel=max(a.eps_rel, 1e-5),
+        eps_prim_inf=max(a.eps_prim_inf, 1e-6),
+        eps_dual_inf=max(a.eps_dual_inf, 1e-6),
+        polish_delta=max(a.polish_delta, 1e-5),
+        max_iter=min(a.max_iter, 500),
+    )
+    return options.replace(
+        stationarity_tolerance=max(options.stationarity_tolerance,
+                                   _STAT_TOL_F32),
+        complementarity_tolerance=max(options.complementarity_tolerance,
+                                      _COMPL_TOL_F32),
+        print_level=PrintLevel.NONE,
+        admm=admm_cfg,
+    )
+
+
+def correct_and_certify(data: LCQPData, options: Options,
+                        x32, y32_out, rho, any_penalty_update,
+                        pred_ret, pred_qp_flag,
+                        n_corrector_iters: int = 25):
+    """Compensated-f32 corrector + certifier (see module docstring).
+
+    ``data`` is the float64 problem (split exactly into df32 words here);
+    ``y32_out`` is in the mode-dependent *output* layout of
+    :class:`solver.Solution`; ``any_penalty_update`` selects the reference's
+    ``g_tilde`` quirk (``g`` until the first penalty update, then
+    ``g + rho*g_phi``; ``src/LCQProblem.cpp:966-967`` vs ``:1210-1213``).
+
+    Returns ``(x64, y64_out, ret, algo)``.
+    """
+    f32 = jnp.float32
+    n, nC, nK = data.nV, data.nC, data.nComp
+    m0 = nC + 2 * nK
+    m = m0 + n
+    beta = f32(options.penalty_update_factor)
+    stat_tol = f32(options.stationarity_tolerance)
+    compl_tol = f32(options.complementarity_tolerance)
+
+    # ---- exact df32 splits of the problem data (one-time) ------------------
+    eye64 = jnp.eye(n, dtype=data.Q.dtype)
+    A_int64 = jnp.concatenate([data.A_full, eye64], axis=0)
+    l_int64 = jnp.clip(jnp.concatenate([data.lbA_full, data.lb]),
+                       -INFTY, INFTY)
+    u_int64 = jnp.clip(jnp.concatenate([data.ubA_full, data.ub]),
+                       -INFTY, INFTY)
+    Ahi, Alo = df32.split_mat(A_int64)
+    Qhi, Qlo = df32.split_mat(data.Q)
+    Chi, Clo = df32.split_mat(data.C)
+    g_df = df32.from_f64(data.g)
+    gphi_df = df32.from_f64(data.g_phi)
+    l_df = df32.from_f64(l_int64)
+    u_df = df32.from_f64(u_int64)
+    phi_c_df = df32.from_f64(data.phi_const)
+
+    l32, u32 = l_df.hi, u_df.hi
+    eq = (u_int64 - l_int64) < 1e-12        # equality rows (f64 detection)
+    # Compare against the f32-cast INFTY: float32(1e20) rounds UP to
+    # ~1.00000002e20, so a Python-float comparison (`l32 > -1e20`) would
+    # misclassify every loose row as finitely bounded and pin it at -1e20.
+    inf32 = jnp.asarray(INFTY, f32)
+    has_l = l32 > -inf32
+    has_u = u32 < inf32
+
+    # f32 preconditioner pieces (one-time).
+    delta = f32(_DELTA)
+    Pinv = spd_inverse(Qhi + delta * jnp.eye(n, dtype=f32))
+
+    def Qx_df(x: DF) -> DF:
+        return df32.split_matvec(Qhi, Qlo, x)
+
+    def Cx_df(x: DF) -> DF:
+        return df32.split_matvec(Chi, Clo, x)
+
+    def Ax_df(x: DF) -> DF:
+        return df32.split_matvec(Ahi, Alo, x)
+
+    def Aty_df(y: DF) -> DF:
+        return df32.split_matvec_t(Ahi, Alo, y)
+
+    def g_tilde_df(rho32, upd):
+        with_pen = df32.add(g_df, df32.mul_f32(gphi_df, rho32))
+        return df32.where(upd, with_pen, g_df)
+
+    def stat_phi(x: DF, y: DF, rho32, upd):
+        Cx = Cx_df(x)
+        statk = df32.add(
+            df32.sub(df32.add(Qx_df(x), df32.mul_f32(Cx, rho32)),
+                     Aty_df(y)),
+            g_tilde_df(rho32, upd))
+        stat_norm = df32.max_abs(statk, axis=-1)
+        phi = df32.add(
+            df32.add(df32.mul_f32(df32.df_dot(x, Cx), f32(0.5)),
+                     df32.df_dot(gphi_df, x)),
+            phi_c_df)
+        return stat_norm, phi.hi + phi.lo
+
+    def kkt_solve_pass(x: DF, y: DF, gk: DF):
+        """One active-set KKT solve of the linearized QP via f32 Schur +
+        df32 iterative refinement.  Returns the refined (x, nu)."""
+        # Active set seeded from the current dual signs (equality rows
+        # unconditionally active) — the reference's polish/hotstart logic.
+        # LCQPow dual sign convention: POSITIVE duals push on active LOWER
+        # bounds (SubsolverQPOASES docs; opposite of OSQP's).
+        low = eq | ((y.hi > 0) & has_l)
+        up = (y.hi < 0) & has_u & ~low
+        act = low | up
+        mf = act.astype(f32)
+
+        # f32 Schur preconditioner for this active set.
+        G32 = Ahi * mf[:, None]
+        S = G32 @ (Pinv @ G32.T) + jnp.diag(jnp.where(act, delta, f32(1.0)))
+        Sinv = spd_inverse(S)
+
+        def precond(r1, r2):
+            """Solve the delta-regularized KKT correction in f32:
+            Qd dx - G' dnu = -r1;  G dx + delta dnu = -r2 (active),
+            dnu = -r2 (inactive)."""
+            t = G32 @ (Pinv @ r1) - r2
+            dnu = Sinv @ t
+            dx = Pinv @ (G32.T @ dnu - r1)
+            return dx, dnu
+
+        b_df = DF(jnp.where(low, l_df.hi, jnp.where(up, u_df.hi, 0.0)) * mf,
+                  jnp.where(low, l_df.lo, jnp.where(up, u_df.lo, 0.0)) * mf)
+
+        # Masked split matrix for residuals (mask is exact in f32).
+        Ghi, Glo = Ahi * mf[:, None], Alo * mf[:, None]
+
+        nu = DF(y.hi * mf, y.lo * mf)
+        xp = x
+
+        def refine(_, carry):
+            xp, nu = carry
+            # r1 = Q xp + gk - G' nu    (df32)
+            r1 = df32.add(df32.sub(Qx_df(xp),
+                                   df32.split_matvec_t(Ghi, Glo, nu)), gk)
+            # r2 = act*(G xp - b) + inact*nu
+            Gx = df32.split_matvec(Ghi, Glo, xp)
+            r2_act = df32.sub(Gx, b_df)
+            r2 = DF(jnp.where(act, r2_act.hi, nu.hi),
+                    jnp.where(act, r2_act.lo, nu.lo))
+            dx, dnu = precond(r1.hi + r1.lo, r2.hi + r2.lo)
+            return (df32.add(xp, df32.from_f32(dx)),
+                    df32.add(nu, df32.from_f32(dnu)))
+
+        xp, nu = lax.fori_loop(0, _REFINE_STEPS + 1, refine, (xp, nu))
+        return xp, nu
+
+    # ---- corrector loop -----------------------------------------------------
+    x32 = jnp.asarray(x32, f32)
+    x0 = df32.from_f32(x32)
+    y32_out = jnp.asarray(y32_out, f32)
+    if options.uses_box_duals:
+        y_int32 = jnp.concatenate([y32_out[n:], y32_out[:n]])
+    else:
+        y_int32 = jnp.concatenate([y32_out, jnp.zeros((n,), f32)])
+    rho0 = jnp.asarray(rho, f32)
+    # A converged predictor reports LCQP duals, i.e. AFTER transformDuals
+    # (yL -= rho Rx, yR -= rho Lx, src/LCQProblem.cpp:1381-1409).  The
+    # corrector iterates on the penalized linearized QP whose duals are the
+    # PRE-transform ones — undo the transform for converged lanes.
+    Ax32 = Ahi @ x32
+    Lx32 = Ax32[nC:nC + nK]
+    Rx32 = Ax32[nC + nK:m0]
+    pred_conv = pred_ret == int(ReturnValue.SUCCESSFUL_RETURN)
+    yL_un = y_int32[nC:nC + nK] + rho0 * Rx32
+    yR_un = y_int32[nC + nK:m0] + rho0 * Lx32
+    y_untr = y_int32.at[nC:nC + nK].set(yL_un).at[nC + nK:m0].set(yR_un)
+    y_int32 = jnp.where(pred_conv, y_untr, y_int32)
+    y0 = df32.from_f32(y_int32)
+    upd0 = jnp.asarray(any_penalty_update)
+
+    def cond(c):
+        return ~c[5]
+
+    def body(c):
+        x, y, rho32, upd, k, done, conv, pen_fail = c
+        stat_norm, phi_val = stat_phi(x, y, rho32, upd)
+        conv = (stat_norm < stat_tol) & (phi_val < compl_tol)
+        # Penalty update when stationary but not complementary (:528-533).
+        pen = (stat_norm < stat_tol) & ~conv
+        rho32 = jnp.where(pen, rho32 * beta, rho32)
+        upd = upd | pen
+        pen_fail = rho32 > f32(options.max_penalty_parameter)
+        done = conv | pen_fail | (k >= n_corrector_iters)
+
+        def step(args):
+            x, y, rho32, upd = args
+            gk = df32.add(df32.mul_f32(Cx_df(x), rho32),
+                          g_tilde_df(rho32, upd))
+            return kkt_solve_pass(x, y, gk)
+
+        x, y = lax.cond(done, lambda a: (a[0], a[1]), step,
+                        (x, y, rho32, upd))
+        return (x, y, rho32, upd, k + 1, done, conv, pen_fail)
+
+    i32 = lambda v: jnp.asarray(v, jnp.int32)
+    (x, y, rho32, upd, _, _, certified, pen_fail) = lax.while_loop(
+        cond, body,
+        (x0, y0, rho0, upd0, i32(0), jnp.asarray(False),
+         jnp.asarray(False), jnp.asarray(False)))
+
+    # ---- dual transform + stationarity typing (df32) -----------------------
+    Ax = Ax_df(x)
+    Lx = DF(Ax.hi[nC:nC + nK], Ax.lo[nC:nC + nK])
+    Rx = DF(Ax.hi[nC + nK:m0], Ax.lo[nC + nK:m0])
+    yL = DF(y.hi[nC:nC + nK], y.lo[nC:nC + nK])
+    yR = DF(y.hi[nC + nK:m0], y.lo[nC + nK:m0])
+    # transformDuals (src/LCQProblem.cpp:1381-1409): yL -= rho Rx, yR -= rho Lx
+    yL_t = df32.sub(yL, df32.mul_f32(Rx, rho32))
+    yR_t = df32.sub(yR, df32.mul_f32(Lx, rho32))
+
+    # determineStationarityType (:1412-1453) on df32 values.
+    Lx_v = Lx.hi + Lx.lo
+    Rx_v = Rx.hi + Rx.lo
+    yL_v = yL_t.hi + yL_t.lo
+    yR_v = yR_t.hi + yR_t.lo
+    weak = (Lx_v <= compl_tol) & (Rx_v <= compl_tol)
+    prod = yL_v * yR_v
+    mn = jnp.minimum(yL_v, yR_v)
+    s_fail = weak & (mn < 0)
+    mc_fail = weak & (jnp.abs(prod) >= compl_tol) & (mn <= 0)
+    w_flag = mc_fail & (prod <= compl_tol)
+    algo = jnp.where(
+        jnp.any(w_flag), int(AlgorithmStatus.W_STATIONARY_SOLUTION),
+        jnp.where(
+            ~jnp.any(s_fail), int(AlgorithmStatus.S_STATIONARY_SOLUTION),
+            jnp.where(~jnp.any(mc_fail),
+                      int(AlgorithmStatus.M_STATIONARY_SOLUTION),
+                      int(AlgorithmStatus.C_STATIONARY_SOLUTION)))
+    ).astype(jnp.int32)
+    algo = jnp.where(certified, algo,
+                     int(AlgorithmStatus.PROBLEM_NOT_SOLVED)).astype(jnp.int32)
+
+    # ---- recombine to f64 outputs -------------------------------------------
+    x64 = df32.to_f64(x)
+    y64 = df32.to_f64(y)
+    yL64 = jnp.where(certified, df32.to_f64(yL_t), y64[nC:nC + nK])
+    yR64 = jnp.where(certified, df32.to_f64(yR_t), y64[nC + nK:m0])
+    y64 = y64.at[nC:nC + nK].set(yL64).at[nC + nK:m0].set(yR64)
+
+    y_A_full = y64[:m0]
+    y_box = y64[m0:]
+    if options.uses_box_duals:
+        y_out = jnp.concatenate([y_box, y_A_full])
+    else:
+        y_out = y_A_full
+
+    ret = jnp.where(
+        certified, int(ReturnValue.SUCCESSFUL_RETURN),
+        jnp.where(pen_fail, int(ReturnValue.MAX_PENALTY_REACHED),
+                  jnp.where(pred_ret != int(ReturnValue.SUCCESSFUL_RETURN),
+                            pred_ret,
+                            int(ReturnValue.MAX_ITERATIONS_REACHED)))
+    ).astype(jnp.int32)
+    return x64, y_out, ret, algo, rho32.astype(jnp.float64)
+
+
+def solve_mixed(data: LCQPData, options: Options = Options(),
+                x0: Optional[jnp.ndarray] = None,
+                y0: Optional[jnp.ndarray] = None,
+                key: Optional[jax.Array] = None,
+                n_corrector_iters: int = 25) -> Solution:
+    """Mixed-precision solve of a single LCQP.  Same contract as
+    :func:`solver.solve`; pure and jittable; vmap over ``(data, x0, y0,
+    key)`` for batches (or use :func:`solve_batch_mixed`)."""
+    f32 = jnp.float32
+    data32 = jax.tree.map(lambda a: jnp.asarray(a, f32), data)
+    x032 = None if x0 is None else jnp.asarray(x0, f32)
+    y032 = None if y0 is None else jnp.asarray(y0, f32)
+
+    pred = solve(data32, _predictor_options(options), x0=x032, y0=y032,
+                 key=key)
+
+    data64 = jax.tree.map(lambda a: jnp.asarray(a, jnp.float64), data)
+    x, y_out, ret, algo, rho_opt = correct_and_certify(
+        data64, options,
+        pred.x, pred.y, pred.stats.rho_opt,
+        pred.stats.iter_outer > 0,
+        pred.ret, pred.stats.qp_exit_flag,
+        n_corrector_iters=n_corrector_iters)
+
+    stats = Stats(
+        iter_total=pred.stats.iter_total,
+        iter_outer=pred.stats.iter_outer,
+        subproblem_iter=pred.stats.subproblem_iter,
+        rho_opt=rho_opt,
+        solution_status=algo,
+        qp_exit_flag=pred.stats.qp_exit_flag,
+        trajectories=pred.stats.trajectories,
+    )
+    return Solution(x=x, y=y_out, ret=ret, algo_status=algo, stats=stats)
+
+
+def solve_batch_mixed(data: LCQPData, options: Options = Options(),
+                      key: Optional[jax.Array] = None,
+                      n_corrector_iters: int = 25) -> Solution:
+    """Batched mixed-precision solve (leading batch axis on ``data``)."""
+    options = options.replace(print_level=PrintLevel.NONE)
+    leaf = jax.tree.leaves(data)[0]
+    batch = leaf.shape[0]
+    if key is None:
+        key = jax.random.PRNGKey(options.seed)
+    keys = jax.random.split(key, batch)
+    vf = jax.jit(jax.vmap(
+        lambda d, k: solve_mixed(d, options, key=k,
+                                 n_corrector_iters=n_corrector_iters),
+        in_axes=(0, 0)))
+    return vf(data, keys)

@@ -49,7 +49,6 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .constants import EPS, INFTY
 from .data import LCQPData
 from .options import Options
 from .solvers import admm
@@ -379,11 +378,14 @@ def solve(data: LCQPData, options: Options = Options(),
             yk_new = -res.y
             pk = xnew - xk
             qp_fail = res.status <= 0
-            # perturbStep (:554-555, :1353-1362)
+            # perturbStep (:554-555, :1353-1362).  The reference perturbs by
+            # +/-EPS (f64 machine eps); the dtype-relative generalization
+            # keeps the escape-from-saddle mechanism alive in float32, where
+            # +/-2.2e-16 would round to a no-op.
             key, sub = jax.random.split(key)
             if options.perturb_step:
                 r = jax.random.randint(sub, (n,), -1, 2).astype(dtype)
-                xk = xk + r * EPS
+                xk = xk + r * jnp.finfo(dtype).eps
             # getOptimalStepLength (:558, :1217-1237)
             qk_val = pk @ Qk_mv(rho, pk)
             lk_val = pk @ (Qk_mv(rho, xk) + g_tilde)
