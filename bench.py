@@ -46,18 +46,23 @@ def main():
 
     # Warm-up-class instances: small strictly convex LCQPs with
     # complementarity pairs (BASELINE.json randomized-batch config).
+    # Fleet assembly stays entirely in NumPy (as_numpy=True): on the
+    # tunneled-TPU transport any device->host readback during setup would
+    # flip the process into a ~33 ms-per-launch synchronous dispatch mode.
     rng = np.random.default_rng(0)
-    problems = [random_lcqp(rng, nV=8, nC=2, nComp=2) for _ in range(64)]
-    base = lt.stack_lcqps(problems)
+    problems = [random_lcqp(rng, nV=8, nC=2, nComp=2, as_numpy=True)
+                for _ in range(64)]
+    base = jax.tree.map(lambda *xs: np.stack(xs), *problems)
     # Tile to the full batch (distinct leading-axis data per lane).
     reps_needed = -(-B // 64)
     batch = jax.tree.map(
-        lambda x: np.tile(np.asarray(x), (reps_needed,) + (1,) * (x.ndim - 1))[:B],
+        lambda x: np.tile(x, (reps_needed,) + (1,) * (x.ndim - 1))[:B],
         base)
     # Perturb the gradients so every lane is a distinct instance.
     import dataclasses
-    g = np.asarray(batch.g) + 0.01 * rng.normal(size=(B, 8))
-    batch = dataclasses.replace(batch, g=jax.numpy.asarray(g))
+    batch = dataclasses.replace(
+        batch, g=batch.g + 0.01 * rng.normal(size=(B, 8)))
+    batch = jax.tree.map(jax.numpy.asarray, batch)
 
     # The warm-up class converges in ~15 homotopy iterations; 200 bounds the
     # lockstep loop without changing outcomes.
@@ -77,6 +82,20 @@ def main():
     jax.block_until_ready(sol.x)
     log(f"compile+first run: {time.time()-t0:.1f}s")
 
+    # Timed reps BEFORE any device->host readback: on the tunneled-TPU
+    # transport, the first host readback permanently switches the process
+    # into a synchronous dispatch mode costing ~33 ms per program launch
+    # (~10% of a rep here).  block_until_ready only waits — it does not
+    # read — so the timing loop stays in async mode; all verification
+    # readbacks happen below, after timing.
+    times = []
+    for r in range(reps):
+        t0 = time.time()
+        sol = fn(batch, keys)
+        jax.block_until_ready(sol.x)
+        times.append(time.time() - t0)
+    t = min(times)
+
     ok = np.asarray(sol.ret) == 0
     n_ok = int(ok.sum())
     log(f"certified {n_ok}/{B}; mean iters "
@@ -90,14 +109,6 @@ def main():
         R = np.asarray(batch.R[i], np.float64)
         max_phi = max(max_phi, abs((L @ xs[i]) @ (R @ xs[i])))
     log(f"max |phi| on sample: {max_phi:.3e}")
-
-    times = []
-    for r in range(reps):
-        t0 = time.time()
-        sol = fn(batch, keys)
-        jax.block_until_ready(sol.x)
-        times.append(time.time() - t0)
-    t = min(times)
     # Only certified solves count toward the throughput claim.
     throughput = n_ok / t
     log(f"times: {[f'{x:.3f}' for x in times]}; best {t:.3f}s "

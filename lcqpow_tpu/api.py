@@ -1,0 +1,150 @@
+"""One-call solve API (parity with the reference's MATLAB mex entry).
+
+The reference's MATLAB interface is a single function
+
+    [x, y, stats] = LCQPow(Q, g, L, R, lbL, ubL, lbR, ubR, {A, lbA, ubA},
+                           {lb, ub}, {params})
+
+(``/root/reference/interfaces/matlab/LCQPow.m:30-38``; mex implementation
+``interfaces/matlab/LCQPow.cpp:570-1092``).  There is no MATLAB on TPU, but
+the calling convention is the most ergonomic way to fire off one solve, so
+this module provides the same shape of entry point for Python:
+
+    x, y, stats = lcqpow(Q, g, L, R, lbL, ubL, lbR, ubR,
+                         A=A, lbA=lbA, ubA=ubA, params={"x0": x0, ...})
+
+``params`` accepts the mex parameter names (camelCase, ``LCQPow.cpp:679-854``)
+as well as this package's snake_case option names.  ``stats`` is a dict with
+the mex stats-struct fields (``LCQPow.cpp:952-1092``): ``iters_total``,
+``iters_outer``, ``iters_subproblem``, ``rho_opt``, ``elapsed_time``,
+``exit_flag``, ``solution_type``, ``qp_exit_flag`` — plus the per-iterate
+trajectory fields (``xSteps``, ``innerIters``, ``subproblemIters``,
+``accuSubproblemIters``, ``stepLength``, ``stepSize``, ``statVals``,
+``objVals``, ``phiVals``, ``meritVals``) when ``storeSteps`` is on.  Note the
+reference mex has a field-indexing bug where ``xSteps`` clobbers
+``qp_exit_flag`` (``LCQPow.cpp:1014,1069``) — not replicated.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Optional, Tuple
+
+import numpy as np
+
+from .data import make_lcqp
+from .options import ADMMOptions, Options
+from .solver import solve
+from .mixed import solve_mixed
+from .types import PrintLevel, QPSolver
+
+# mex param name (LCQPow.cpp:679-854) -> Options field.
+_PARAM_MAP = {
+    "stationarityTolerance": "stationarity_tolerance",
+    "complementarityTolerance": "complementarity_tolerance",
+    "initialPenaltyParameter": "initial_penalty_parameter",
+    "penaltyUpdateFactor": "penalty_update_factor",
+    "maxPenaltyParameter": "max_penalty_parameter",
+    "maxRho": "max_penalty_parameter",
+    "solveZeroPenaltyFirst": "solve_zero_penalty_first",
+    "perturbStep": "perturb_step",
+    "maxIterations": "max_iterations",
+    "nDynamicPenalty": "n_dynamic_penalty",
+    "etaDynamicPenalty": "eta_dynamic_penalty",
+    "printLevel": "print_level",
+    "storeSteps": "store_steps",
+    "qpSolver": "qp_solver",
+    "seed": "seed",
+}
+
+
+def options_from_params(params: Optional[dict]) -> Tuple[Options,
+                                                         Optional[np.ndarray],
+                                                         Optional[np.ndarray]]:
+    """Build :class:`Options` from a mex-style ``params`` dict.
+
+    Returns ``(options, x0, y0)`` — the reference passes the initial guess
+    inside ``params`` too (``LCQPow.cpp:807-853``).  Unknown keys raise
+    ``KeyError`` (the mex warns and ignores; failing loudly is safer for a
+    Python API).  The nested ``OSQP_options`` dict configures the inner ADMM
+    engine (role of the reference's OSQPSettings passthrough); the reference's
+    ``qpOASES_options`` has no TPU counterpart and is accepted-but-ignored
+    with the keys it only uses for printing.
+    """
+    params = dict(params or {})
+    x0 = params.pop("x0", None)
+    y0 = params.pop("y0", None)
+    if x0 is not None:
+        x0 = np.asarray(x0, np.float64).reshape(-1)
+    if y0 is not None:
+        y0 = np.asarray(y0, np.float64).reshape(-1)
+
+    admm_kw = {}
+    osqp_opts = params.pop("OSQP_options", None) or {}
+    for k, v in osqp_opts.items():
+        if k in ("rho", "sigma", "alpha", "eps_abs", "eps_rel",
+                 "eps_prim_inf", "eps_dual_inf", "max_iter", "polish",
+                 "polish_refine_iter"):
+            admm_kw[k] = v
+    params.pop("qpOASES_options", None)  # no TPU counterpart
+
+    kw = {}
+    for k, v in params.items():
+        field = _PARAM_MAP.get(k, k)
+        if field == "print_level":
+            v = PrintLevel(int(v))
+        elif field == "qp_solver":
+            v = QPSolver(int(v))
+        if field not in {f.name for f in dataclasses.fields(Options)}:
+            raise KeyError(f"unknown LCQPow parameter: {k!r}")
+        kw[k if k == field else field] = v
+    opts = Options(**kw)
+    if admm_kw:
+        opts = opts.replace(admm=dataclasses.replace(opts.admm, **admm_kw))
+    return opts, x0, y0
+
+
+def lcqpow(Q, g, L, R, lbL=None, ubL=None, lbR=None, ubR=None,
+           A=None, lbA=None, ubA=None, lb=None, ub=None,
+           params: Optional[dict] = None, *, mixed: bool = False):
+    """Solve one LCQP with the mex calling convention; returns
+    ``(x, y, stats_dict)``.  Set ``mixed=True`` for the mixed-precision
+    pipeline (recommended on TPU hardware without native float64)."""
+    opts, x0, y0 = options_from_params(params)
+    data = make_lcqp(Q, g, L, R, lbL=lbL, ubL=ubL, lbR=lbR, ubR=ubR,
+                     A=A, lbA=lbA, ubA=ubA, lb=lb, ub=ub)
+    t0 = time.perf_counter()
+    fn = solve_mixed if mixed else solve
+    sol = fn(data, opts, x0=x0, y0=y0)
+    sol.x.block_until_ready()
+    elapsed = time.perf_counter() - t0
+
+    stats = {
+        "iters_total": int(sol.stats.iter_total),
+        "iters_outer": int(sol.stats.iter_outer),
+        "iters_subproblem": int(sol.stats.subproblem_iter),
+        "rho_opt": float(sol.stats.rho_opt),
+        "elapsed_time": elapsed,
+        "exit_flag": int(sol.ret),
+        "solution_type": int(sol.algo_status),
+        "qp_exit_flag": int(sol.stats.qp_exit_flag),
+    }
+    traj = sol.stats.trim().trajectories
+    if traj is not None:
+        stats.update({
+            "xSteps": np.asarray(traj.x_steps),
+            "innerIters": np.asarray(traj.inner_iters),
+            "subproblemIters": np.asarray(traj.subproblem_iters),
+            "accuSubproblemIters": np.asarray(traj.accu_subproblem_iters),
+            "stepLength": np.asarray(traj.step_length),
+            "stepSize": np.asarray(traj.step_size),
+            "statVals": np.asarray(traj.stat_vals),
+            "objVals": np.asarray(traj.obj_vals),
+            "phiVals": np.asarray(traj.phi_vals),
+            "meritVals": np.asarray(traj.merit_vals),
+        })
+    return np.asarray(sol.x), np.asarray(sol.y), stats
+
+
+LCQPow = lcqpow  # reference-style name

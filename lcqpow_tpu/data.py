@@ -110,7 +110,8 @@ class LCQPData:
 
 
 def _clamp_inf(x: jnp.ndarray) -> jnp.ndarray:
-    """Map IEEE +/-inf (and beyond-INFTY values) onto the finite stand-in."""
+    """Map IEEE +/-inf (and beyond-INFTY values) onto the finite stand-in.
+    (Used by traced callers; host-side ingestion clips in NumPy.)"""
     return jnp.clip(x, -INFTY, INFTY)
 
 
@@ -131,6 +132,7 @@ def make_lcqp(
     *,
     dtype=None,
     validate: bool = True,
+    as_numpy: bool = False,
 ) -> LCQPData:
     """Build an :class:`LCQPData` from dense arrays, applying the reference's
     defaulting rules (``src/LCQProblem.cpp:563-785``):
@@ -143,9 +145,17 @@ def make_lcqp(
       (INVALID_LOWER_COMPLEMENTARITY_BOUND, ``src/LCQProblem.cpp:747-768``).
     """
     dtype = dtype or _config.default_dtype()
+    # Construction and validation run in NumPy; the finished pytree is
+    # transferred to the device in one pass at the end.  This is deliberate:
+    # per-field device work here would (a) issue hundreds of tiny transfers
+    # per ingested fleet and (b) force scalar device->host readbacks for the
+    # validation predicates — measured on the TPU-tunnel transport, the first
+    # such readback permanently degrades every later dispatch in the process
+    # from ~0.1 ms to ~33 ms.
+    np_dtype = np.dtype(jnp.dtype(dtype).name)
 
-    Q = jnp.asarray(Q, dtype)
-    g = jnp.asarray(g, dtype).reshape(-1)
+    Q = np.asarray(Q, np_dtype)
+    g = np.asarray(g, np_dtype).reshape(-1)
     nV = g.shape[0]
     if validate and (Q.ndim != 2 or Q.shape != (nV, nV)):
         raise LCQPError(ReturnValue.INVALID_ARGUMENT,
@@ -153,8 +163,8 @@ def make_lcqp(
     if validate and nV <= 0:
         raise LCQPError(ReturnValue.INVALID_NUMBER_OF_OPTIM_VARS)
 
-    L = jnp.asarray(L, dtype).reshape(-1, nV)
-    R = jnp.asarray(R, dtype).reshape(-1, nV)
+    L = np.asarray(L, np_dtype).reshape(-1, nV)
+    R = np.asarray(R, np_dtype).reshape(-1, nV)
     nComp = L.shape[0]
     if validate and R.shape != (nComp, nV):
         raise LCQPError(ReturnValue.INVALID_COMPLEMENTARITY_MATRIX,
@@ -162,12 +172,12 @@ def make_lcqp(
 
     def vec(v, n, default, name):
         if v is None:
-            return jnp.full((n,), default, dtype)
-        v = jnp.asarray(v, dtype).reshape(-1)
+            return np.full((n,), default, np_dtype)
+        v = np.asarray(v, np_dtype).reshape(-1)
         if validate and v.shape[0] != n:
             raise LCQPError(ReturnValue.INVALID_ARGUMENT,
                             f"{name} must have length {n}, got {v.shape[0]}")
-        return _clamp_inf(v)
+        return np.clip(v, -INFTY, INFTY)
 
     lbL = vec(lbL, nComp, 0.0, "lbL")
     ubL = vec(ubL, nComp, INFTY, "ubL")
@@ -177,13 +187,13 @@ def make_lcqp(
     if validate:
         # Reference rejects unbounded-below complementarity rows
         # (src/LCQProblem.cpp:747-748, 767-768).
-        if bool(jnp.any(lbL <= -INFTY)) or bool(jnp.any(lbR <= -INFTY)):
+        if bool(np.any(lbL <= -INFTY)) or bool(np.any(lbR <= -INFTY)):
             raise LCQPError(ReturnValue.INVALID_LOWER_COMPLEMENTARITY_BOUND)
 
     if A is None:
-        A = jnp.zeros((0, nV), dtype)
+        A = np.zeros((0, nV), np_dtype)
     else:
-        A = jnp.asarray(A, dtype).reshape(-1, nV)
+        A = np.asarray(A, np_dtype).reshape(-1, nV)
     nC = A.shape[0]
     lbA = vec(lbA, nC, -INFTY, "lbA")
     ubA = vec(ubA, nC, INFTY, "ubA")
@@ -191,14 +201,25 @@ def make_lcqp(
     lb = vec(lb, nV, -INFTY, "lb")
     ub = vec(ub, nV, INFTY, "ub")
 
-    # Derived quantities (see module docstring for reference citations).
-    C = linalg.matrix_symmetrization_product(L, R)
-    g_phi = -(R.T @ lbL + L.T @ lbR)
-    phi_const = jnp.dot(lbL, lbR)
+    # Derived quantities (see module docstring for reference citations);
+    # computed in float64 regardless of the storage dtype so f32 problems
+    # still carry correctly rounded C/g_phi/phi_const.
+    L64 = L.astype(np.float64)
+    R64 = R.astype(np.float64)
+    C = (L64.T @ R64 + R64.T @ L64).astype(np_dtype)
+    g_phi = (-(R64.T @ lbL.astype(np.float64)
+               + L64.T @ lbR.astype(np.float64))).astype(np_dtype)
+    phi_const = np_dtype.type(np.dot(lbL.astype(np.float64),
+                                     lbR.astype(np.float64)))
 
-    return LCQPData(Q=Q, g=g, L=L, R=R, lbL=lbL, ubL=ubL, lbR=lbR, ubR=ubR,
+    data = LCQPData(Q=Q, g=g, L=L, R=R, lbL=lbL, ubL=ubL, lbR=lbR, ubR=ubR,
                     A=A, lbA=lbA, ubA=ubA, lb=lb, ub=ub,
-                    C=C, g_phi=g_phi, phi_const=phi_const)
+                    C=C, g_phi=g_phi, phi_const=np.asarray(phi_const))
+    if as_numpy:
+        # Host-side leaves, for fleet assembly (tile/perturb/stack in NumPy)
+        # without device round-trips; jit converts on first use.
+        return data
+    return jax.tree.map(jnp.asarray, data)
 
 
 def pad_lcqp(data: LCQPData, nV: int, nC: int, nComp: int) -> LCQPData:

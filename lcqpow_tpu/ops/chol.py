@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import math
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -50,9 +51,94 @@ def tri_inv_lower(L: jnp.ndarray) -> jnp.ndarray:
     return S / d[..., None, :]
 
 
+def block_spd_inverse(M: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of a symmetric positive-definite matrix via recursive 2x2
+    block (Schur-complement) inversion — matmul + elementwise only, no
+    ``lax.linalg``.  Batched over leading dims.
+
+    Why not ``lax.linalg.cholesky``: XLA lowers batched Cholesky to a
+    sequential column loop with dynamic slicing; measured on TPU v5e at
+    (4096, 14, 14) it costs ~6.7 ms — three orders of magnitude off the
+    bandwidth bound — and it sits on the hot path of every polish/KKT solve.
+    The block recursion
+
+        inv([[A, B'], [B, D]]) via Ai = inv(A), S = D - B Ai B', Si = inv(S)
+
+    is log-depth in pure MXU work (measured ~60x faster at this shape).
+    Accuracy matches the Cholesky route for the equilibrated,
+    delta-regularized systems the solver builds; callers that need tighter
+    results already wrap it in iterative refinement
+    (``solvers/admm.py:_polish_solve``, ``mixed.py:kkt_solve_pass``).
+    """
+    n = M.shape[-1]
+    if n == 1:
+        return 1.0 / M
+    if n == 2:
+        a = M[..., 0, 0]
+        b = M[..., 0, 1]
+        c = M[..., 1, 0]
+        d = M[..., 1, 1]
+        det = a * d - b * c
+        row0 = jnp.stack([d, -b], axis=-1)
+        row1 = jnp.stack([-c, a], axis=-1)
+        return jnp.stack([row0, row1], axis=-2) / det[..., None, None]
+    k = n // 2
+    A = M[..., :k, :k]
+    Bt = M[..., :k, k:]
+    B = M[..., k:, :k]
+    D = M[..., k:, k:]
+    Ai = block_spd_inverse(A)
+    BAi = B @ Ai                      # (n-k, k)
+    Si = block_spd_inverse(D - BAi @ Bt)
+    TR = -(BAi.mT @ Si)               # top-right (k, n-k)
+    TL = Ai - TR @ BAi                # Ai + Ai B' Si B Ai
+    BL = -(Si @ BAi)
+    top = jnp.concatenate([TL, TR], axis=-1)
+    bot = jnp.concatenate([BL, Si], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+@jax.custom_batching.custom_vmap
+def _batched_spd_inverse(S: jnp.ndarray) -> jnp.ndarray:
+    """(B, m, m) SPD inverse: Pallas Gauss-Jordan kernel on TPU float32
+    (bandwidth-bound, ~35x faster than the block recursion at the solver's
+    shapes), block recursion otherwise."""
+    from .pallas_inverse import pallas_applicable, spd_inverse_pallas
+    if pallas_applicable(S.shape, S.dtype) and S.ndim == 3:
+        return spd_inverse_pallas(S)
+    return block_spd_inverse(S)
+
+
+@_batched_spd_inverse.def_vmap
+def _batched_spd_inverse_vmap(axis_size, in_batched, S):
+    # Nested vmap: flatten all leading axes into one batch, recurse (keeps
+    # the Pallas path engaged instead of letting vmap fall onto pallas_call).
+    del axis_size, in_batched
+    flat = S.reshape((-1,) + S.shape[-2:])
+    return _batched_spd_inverse(flat).reshape(S.shape), True
+
+
+@jax.custom_batching.custom_vmap
 def spd_inverse(M: jnp.ndarray) -> jnp.ndarray:
-    """Inverse of a symmetric positive-definite matrix: ``W'W`` with
-    ``W = chol(M)^-1``.  Batched over leading dims."""
+    """Inverse of a symmetric positive-definite matrix.  Batched over leading
+    dims.  Unbatched / explicit-batch calls use the matmul-only block
+    recursion; under ``vmap`` (the solver's instance-batching axis) the
+    ``custom_vmap`` rule routes the whole batch to the Pallas Gauss-Jordan
+    kernel on TPU (see :mod:`lcqpow_tpu.ops.pallas_inverse`)."""
+    return block_spd_inverse(M)
+
+
+@spd_inverse.def_vmap
+def _spd_inverse_vmap(axis_size, in_batched, M):
+    del axis_size, in_batched
+    flat = M.reshape((-1,) + M.shape[-2:])
+    return _batched_spd_inverse(flat).reshape(M.shape), True
+
+
+def spd_inverse_chol(M: jnp.ndarray) -> jnp.ndarray:
+    """Cholesky-route inverse ``W'W`` with ``W = chol(M)^-1``.  Kept for
+    cross-checking :func:`block_spd_inverse`; slow on TPU for small batched
+    shapes (XLA's batched Cholesky is a sequential column loop)."""
     L = lax.linalg.cholesky(M)
     W = tri_inv_lower(L)
     return W.mT @ W

@@ -76,7 +76,7 @@ def optimize_on_circle(N: int = 100, x_ref=(0.5, -0.6), dtype=None):
 
 
 def random_lcqp(key: np.random.Generator | int, nV: int = 8, nC: int = 2,
-                nComp: int = 2, dtype=None) -> LCQPData:
+                nComp: int = 2, dtype=None, as_numpy: bool = False) -> LCQPData:
     """Random strictly-convex LCQP with complementarity between selected
     coordinate pairs — the warm-up-class randomized family used for
     throughput benchmarking."""
@@ -93,4 +93,5 @@ def random_lcqp(key: np.random.Generator | int, nV: int = 8, nC: int = 2,
     A = rng.normal(size=(nC, nV)) / np.sqrt(nV) if nC else None
     lbA = -np.abs(rng.normal(size=nC)) - 0.5 if nC else None
     ubA = np.abs(rng.normal(size=nC)) + 0.5 if nC else None
-    return make_lcqp(Q, g, L, R, A=A, lbA=lbA, ubA=ubA, dtype=dtype)
+    return make_lcqp(Q, g, L, R, A=A, lbA=lbA, ubA=ubA, dtype=dtype,
+                     as_numpy=as_numpy)

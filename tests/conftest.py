@@ -11,6 +11,11 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"))
+
 if os.environ.get("LCQPOW_TPU_TEST_TPU", "0") != "1":
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "")
@@ -22,6 +27,10 @@ if os.environ.get("LCQPOW_TPU_TEST_TPU", "0") != "1":
     # the whole suite on the local CPU client (fast local compiles, no device
     # claim).  Outside axon this is equivalent to JAX_PLATFORMS=cpu.
     jax.config.update("jax_platforms", "cpu")
+    # The suite is compile-dominated (every option combination is a fresh
+    # executable); a persistent cache cuts repeat runs from ~14 min to ~1 min.
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
 
 import pytest  # noqa: E402
 
