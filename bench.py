@@ -30,7 +30,12 @@ def main():
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                           os.path.join(os.path.dirname(
                               os.path.abspath(__file__)), ".jax_cache"))
+    os.makedirs(os.environ["JAX_COMPILATION_CACHE_DIR"], exist_ok=True)
     import jax
+    # This JAX build ignores the JAX_COMPILATION_CACHE_DIR env var; the
+    # config key must be set explicitly.
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import numpy as np
 

@@ -42,7 +42,7 @@ from . import messages
 from . import ops
 from . import parallel
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "EPS", "INFTY", "ZERO",

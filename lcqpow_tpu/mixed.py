@@ -184,8 +184,24 @@ def correct_and_certify(data: LCQPData, options: Options,
         # unconditionally active) — the reference's polish/hotstart logic.
         # LCQPow dual sign convention: POSITIVE duals push on active LOWER
         # bounds (SubsolverQPOASES docs; opposite of OSQP's).
-        low = eq | ((y.hi > 0) & has_l)
-        up = (y.hi < 0) & has_u & ~low
+        #
+        # Dual signs alone are fragile: a dual that is zero up to rounding
+        # noise (|y| ~ 1e-15..1e-7, sign decided by summation order — it can
+        # differ between batched and unbatched matmuls!) can seed a row
+        # ACTIVE whose bound lies far from the iterate, producing a masked
+        # QP whose solution is garbage (the round-1 certification tail).
+        # Robust seed = dual significance + primal proximity:
+        #   * a dual seeds activity only when it clears a relative deadband;
+        #   * rows the iterate already sits on are active regardless (this
+        #     catches weakly-active rows whose true dual is ~0).
+        Gx0 = Ahi @ x.hi
+        near_low = has_l & (jnp.abs(Gx0 - l32) <= 1e-5 * (1.0
+                                                          + jnp.abs(l32)))
+        near_up = has_u & (jnp.abs(Gx0 - u32) <= 1e-5 * (1.0
+                                                         + jnp.abs(u32)))
+        y_tol = 1e-5 * (1.0 + jnp.max(jnp.abs(y.hi)))
+        low = eq | (((y.hi > y_tol) | near_low) & has_l)
+        up = ((y.hi < -y_tol) | near_up) & has_u & ~low
         act = low | up
         mf = act.astype(f32)
 
@@ -271,7 +287,19 @@ def correct_and_certify(data: LCQPData, options: Options,
             x, y, rho32, upd = args
             gk = df32.add(df32.mul_f32(Cx_df(x), rho32),
                           g_tilde_df(rho32, upd))
-            return kkt_solve_pass(x, y, gk)
+            xn, yn = kkt_solve_pass(x, y, gk)
+            # Step safeguard: a wrong active-set seed can produce a solve
+            # that moves *away* from stationarity; unguarded, the next pass
+            # re-seeds from the garbage duals and the iteration explodes
+            # (round-1 certification tail).  Accept only steps that keep the
+            # df32 stationarity within a generous factor of the pre-step
+            # value at the same (rho, g_tilde); rejected lanes hold their
+            # iterate (and fail honestly on budget if nothing changes).
+            sn_new, _ = stat_phi(xn, yn, rho32, upd)
+            sn_base, _ = stat_phi(x, y, rho32, upd)
+            ok = (sn_new <= jnp.maximum(f32(100.0) * sn_base, stat_tol)) \
+                & jnp.all(jnp.isfinite(xn.hi)) & jnp.all(jnp.isfinite(yn.hi))
+            return df32.where(ok, xn, x), df32.where(ok, yn, y)
 
         x, y = lax.cond(done, lambda a: (a[0], a[1]), step,
                         (x, y, rho32, upd))
@@ -376,17 +404,88 @@ def solve_mixed(data: LCQPData, options: Options = Options(),
 
 
 def solve_batch_mixed(data: LCQPData, options: Options = Options(),
+                      x0: Optional[jnp.ndarray] = None,
+                      y0: Optional[jnp.ndarray] = None,
                       key: Optional[jax.Array] = None,
-                      n_corrector_iters: int = 25) -> Solution:
-    """Batched mixed-precision solve (leading batch axis on ``data``)."""
+                      n_corrector_iters: int = 25,
+                      escalate: int = 1) -> Solution:
+    """Batched mixed-precision solve (leading batch axis on every leaf of
+    ``data`` and on ``x0``/``y0`` when given).  ``x0`` is essential for the
+    circle-class problems, which the reference always starts from a feasible
+    lifted point (``/root/reference/examples/OptimizeOnCircle.cpp:101-107``).
+
+    ``escalate``: bounded host-side retry of uncertified lanes (the
+    reference's every-solve-succeeds oracle,
+    ``/root/reference/test/RunUnitTests.cpp:505-551``).  Each round gathers
+    the failing lanes into a power-of-two bucket (bounds recompilation),
+    re-solves with a doubled corrector budget and a fresh perturbation key,
+    and scatters the newly certified lanes back.  Set ``escalate=0`` for a
+    single fully-jitted pass (no host sync)."""
     options = options.replace(print_level=PrintLevel.NONE)
     leaf = jax.tree.leaves(data)[0]
     batch = leaf.shape[0]
     if key is None:
         key = jax.random.PRNGKey(options.seed)
     keys = jax.random.split(key, batch)
+    kw = dict(n_corrector_iters=n_corrector_iters)
+    if x0 is not None and y0 is not None:
+        vf = jax.jit(jax.vmap(
+            lambda d, k, a, b: solve_mixed(d, options, x0=a, y0=b, key=k,
+                                           **kw), in_axes=(0, 0, 0, 0)))
+        return vf(data, keys, x0, y0)
+    if x0 is not None:
+        vf = jax.jit(jax.vmap(
+            lambda d, k, a: solve_mixed(d, options, x0=a, key=k, **kw),
+            in_axes=(0, 0, 0)))
+        return vf(data, keys, x0)
+    if y0 is not None:
+        vf = jax.jit(jax.vmap(
+            lambda d, k, b: solve_mixed(d, options, y0=b, key=k, **kw),
+            in_axes=(0, 0, 0)))
+        return vf(data, keys, y0)
     vf = jax.jit(jax.vmap(
-        lambda d, k: solve_mixed(d, options, key=k,
-                                 n_corrector_iters=n_corrector_iters),
+        lambda d, k: solve_mixed(d, options, key=k, **kw),
         in_axes=(0, 0)))
-    return vf(data, keys)
+    sol = vf(data, keys)
+    if escalate > 0:
+        sol = _escalate_failed(sol, data, options, x0, y0, key,
+                               n_corrector_iters, escalate)
+    return sol
+
+
+def _escalate_failed(sol: Solution, data: LCQPData, options: Options,
+                     x0, y0, key, n_corrector_iters: int,
+                     rounds: int) -> Solution:
+    """Re-solve uncertified lanes with escalating corrector budgets and
+    fresh keys; scatter certified retries back into ``sol``."""
+    import numpy as np
+
+    ret = np.asarray(sol.ret)
+    bad = np.nonzero(ret != int(ReturnValue.SUCCESSFUL_RETURN))[0]
+    for r in range(rounds):
+        if bad.size == 0:
+            break
+        # Power-of-two bucket: repeats of the failing lanes pad the retry
+        # batch so only O(log B) retry shapes ever compile.
+        nb = 1 << max(int(bad.size - 1).bit_length(), 0)
+        idx = np.resize(bad, nb)
+        sub = jax.tree.map(lambda a: jnp.asarray(np.asarray(a)[idx]), data)
+        sx0 = None if x0 is None else jnp.asarray(np.asarray(x0)[idx])
+        sy0 = None if y0 is None else jnp.asarray(np.asarray(y0)[idx])
+        rkey = jax.random.fold_in(key, r + 1)
+        retry = solve_batch_mixed(
+            sub, options, x0=sx0, y0=sy0, key=rkey,
+            n_corrector_iters=n_corrector_iters * (2 << r), escalate=0)
+        rret = np.asarray(retry.ret)[:bad.size]
+        fixed_mask = rret == int(ReturnValue.SUCCESSFUL_RETURN)
+        fixed = bad[fixed_mask]
+        if fixed.size:
+            src_pos = jnp.asarray(np.nonzero(fixed_mask)[0])
+            dst_pos = jnp.asarray(fixed)
+
+            def scatter(dst, src):
+                return dst.at[dst_pos].set(src[src_pos])
+
+            sol = jax.tree.map(scatter, sol, retry)
+        bad = bad[~fixed_mask]
+    return sol

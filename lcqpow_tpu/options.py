@@ -51,6 +51,12 @@ class ADMMOptions:
     max_iter: int = 4000
     check_interval: int = 25    # convergence/infeasibility test cadence
     polish: bool = True         # active-set polish to machine precision
+    # OSQP-style residual-ratio rho adaptation.  Opt-in: it rescues
+    # badly-scaled QPs that stall at a fixed rho (see
+    # tests/test_admm_adaptive.py) but perturbs the homotopy trajectory on
+    # well-scaled problems, so the reference-parity default keeps it off.
+    adaptive_rho: bool = False
+    adaptive_rho_tolerance: float = 5.0  # refactorize when ratio drifts 5x
     polish_delta: float = 1e-8  # regularization used by the polish KKT solve
     polish_refine_iter: int = 3
     polish_active_set_rounds: int = 3  # bounded active-set refinement rounds

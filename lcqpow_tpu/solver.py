@@ -273,13 +273,44 @@ def solve(data: LCQPData, options: Options = Options(),
 
         phi_k = _phi(data, xk)
 
-        # 3./4. printIteration / storeSteps at index `total` (:485-490)
-        if options.print_level >= PrintLevel.INNER_LOOP_ITERATES:
+        # 3./4. printIteration / storeSteps at index `total` (:485-490).
+        # Column layout, header cadence and level gating replicate
+        # printIteration/printHeader (src/LCQProblem.cpp:1528-1637): INNER
+        # prints every pass with a header every 10 inner iterations; OUTER
+        # prints only rows where innerIter == 0 (the pass right after a
+        # penalty update) with a header every 10 outer iterations.
+        if options.print_level == PrintLevel.INNER_LOOP_ITERATES:
+            _hline = ("------+-------+------------+------------+------------"
+                      "+------------+------------+-------")
+            lax.cond(
+                c.inner % 10 == 0,
+                lambda: jax.debug.print(
+                    _hline + "\n outer | inner |  station   |  complem   |"
+                    "    rho     |   norm p   |   alpha    | sub it\n"
+                    + _hline),
+                lambda: None)
             jax.debug.print(
-                "{:5d} | {:4d} | {:11.4e} | {:11.4e} | {:9.2e} | "
-                "{:9.2e} | {:6.2f} | {:5d}",
-                c.total, c.inner, jnp.max(jnp.abs(statk)), phi_k, c.rho,
+                "{:6d} | {:5d} | {:10.3e} | {:10.3e} | {:10.3e} | "
+                "{:10.3e} | {:10.3e} | {:6d}",
+                c.outer, c.inner, jnp.max(jnp.abs(statk)), phi_k, c.rho,
                 jnp.max(jnp.abs(c.pk)), c.alphak, c.qp_iter_k)
+        elif options.print_level == PrintLevel.OUTER_LOOP_ITERATES:
+            _hline = ("------+------------+------------+------------"
+                      "+------------")
+            is_outer_row = c.inner == 0
+            lax.cond(
+                is_outer_row & (c.outer % 10 == 0),
+                lambda: jax.debug.print(
+                    _hline + "\n outer |  station   |  complem   |"
+                    "    rho     |   norm p\n" + _hline),
+                lambda: None)
+            lax.cond(
+                is_outer_row,
+                lambda: jax.debug.print(
+                    "{:6d} | {:10.3e} | {:10.3e} | {:10.3e} | {:10.3e}",
+                    c.outer, jnp.max(jnp.abs(statk)), phi_k, c.rho,
+                    jnp.max(jnp.abs(c.pk))),
+                lambda: None)
         if store:
             t = c.traj
             idx = c.total
