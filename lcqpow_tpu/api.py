@@ -55,6 +55,7 @@ _PARAM_MAP = {
     "printLevel": "print_level",
     "storeSteps": "store_steps",
     "qpSolver": "qp_solver",
+    "innerSolver": "inner_solver",  # TPU extension: engine strategy arg
     "seed": "seed",
 }
 

@@ -60,6 +60,8 @@ class ADMMOptions:
     polish_delta: float = 1e-8  # regularization used by the polish KKT solve
     polish_refine_iter: int = 3
     polish_active_set_rounds: int = 3  # bounded active-set refinement rounds
+    pas_max_pivots: int = 30    # pivot-round budget of the PAS engine
+                                # (lcqpow_tpu/solvers/pas.py)
 
     def __post_init__(self):
         if self.rho <= 0:
@@ -104,8 +106,16 @@ class Options:
     print_level: PrintLevel = PrintLevel.INNER_LOOP_ITERATES
     store_steps: bool = False
 
-    # Inner solver selection + config
+    # Inner solver selection + config.  ``qp_solver`` keeps the reference's
+    # enum *semantics* (dual-vector layout, box-constraint rejection — see
+    # types.QPSolver); ``inner_solver`` is the orthogonal strategy arg
+    # (SURVEY.md §7) choosing the jitted engine behind one signature:
+    #   "admm" — OSQP-style ADMM + polish (solvers/admm.py, the default)
+    #   "pas"  — parametric active-set, the qpOASES analogue
+    #            (solvers/pas.py; machine-precision KKT solves, no
+    #            infeasibility certificates)
     qp_solver: QPSolver = QPSolver.QPOASES_DENSE
+    inner_solver: str = "admm"
     admm: ADMMOptions = dataclasses.field(default_factory=ADMMOptions)
 
     # TPU-only: PRNG seed for the step perturbation.  The reference calls
@@ -144,6 +154,10 @@ class Options:
             object.__setattr__(self, "print_level", PrintLevel(self.print_level))
         if not isinstance(self.qp_solver, QPSolver):
             object.__setattr__(self, "qp_solver", QPSolver(self.qp_solver))
+        if self.inner_solver not in ("admm", "pas"):
+            _warn("inner_solver must be 'admm' or 'pas'; using default "
+                  "'admm'.")
+            object.__setattr__(self, "inner_solver", "admm")
 
     # Convenience: functional update preserving validation.
     def replace(self, **kw) -> "Options":

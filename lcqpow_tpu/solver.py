@@ -51,7 +51,12 @@ from jax import lax
 
 from .data import LCQPData
 from .options import Options
-from .solvers import admm
+from .solvers import admm, pas
+
+# Inner-engine dispatch (SURVEY.md §7: "a strategy arg selecting jitted
+# inner-solver implementations behind one signature").  Both engines share
+# QPWorkspace/ADMMState, so the choice is a trace-time constant.
+_INNER_ENGINES = {"admm": admm.solve, "pas": pas.solve}
 from .stats import Stats, Trajectories
 from .types import AlgorithmStatus, PrintLevel, QPSolver, ReturnValue
 
@@ -211,7 +216,8 @@ def solve(data: LCQPData, options: Options = Options(),
         gk0 = data.g
     else:
         gk0 = rho0 * (data.C @ xk0) + g_tilde0
-    res0 = admm.solve(ws, gk0, st0, cfg)
+    inner_solve = _INNER_ENGINES[options.inner_solver]
+    res0 = inner_solve(ws, gk0, st0, cfg)
     yk_full0 = -res0.y
     pk0 = res0.x - xk0
     init_failed = res0.status <= 0
@@ -404,7 +410,7 @@ def solve(data: LCQPData, options: Options = Options(),
             xk, yk, st, gk, g_tilde, rho, key, sub_iters = args
             # updateLinearization #2 (:545) — reflects any rho change above.
             gk = rho * (data.C @ xk) + g_tilde
-            res = admm.solve(ws, gk, st, cfg)
+            res = inner_solve(ws, gk, st, cfg)
             xnew = res.x
             yk_new = -res.y
             pk = xnew - xk

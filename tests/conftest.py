@@ -35,11 +35,14 @@ if os.environ.get("LCQPOW_TPU_TEST_TPU", "0") != "1":
     # executable); a persistent cache cuts repeat runs dramatically.  This
     # JAX build does NOT honor the JAX_COMPILATION_CACHE_DIR env var, so the
     # config key is set explicitly (round-1 VERDICT Weak #1: the cache never
-    # materialized).
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ["JAX_COMPILATION_CACHE_DIR"])
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-    jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
+    # materialized).  LCQPOW_TPU_TEST_NO_CACHE=1 disables it (segfault
+    # triage: jax 0.9.0's XLA:CPU deserialize_executable can crash late in
+    # a long compile-heavy process).
+    if os.environ.get("LCQPOW_TPU_TEST_NO_CACHE", "0") != "1":
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ["JAX_COMPILATION_CACHE_DIR"])
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
 
 import pytest  # noqa: E402
 

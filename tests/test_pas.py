@@ -1,0 +1,139 @@
+"""Tests of the parametric active-set inner engine (solvers/pas.py) — the
+qpOASES-analogue second tier behind ``Options.inner_solver``.
+
+Scenarios mirror the reference's qpOASES-backed example sweeps
+(``/root/reference/test/examples/warm_up.cpp``, ``warm_up_w_A.cpp``,
+``warm_up_binary.cpp``, ``test/warm_up_shifted.cpp``) and the unit-test
+oracle (``test/RunUnitTests.cpp:505-551``).
+"""
+
+import numpy as np
+import pytest
+
+import lcqpow_tpu as lt
+from lcqpow_tpu.data import make_lcqp
+from lcqpow_tpu.problems import optimize_on_circle, random_lcqp, warm_up
+from lcqpow_tpu.solvers import admm, pas
+
+
+def _opts(**kw):
+    kw.setdefault("print_level", lt.PrintLevel.NONE)
+    kw.setdefault("inner_solver", "pas")
+    return lt.Options(**kw)
+
+
+def test_pas_warm_up():
+    # RunUnitTests.cpp:505-551 oracle: x* in {(1,0),(0,1)}, S-stationary.
+    sol = lt.solve(warm_up(), _opts())
+    assert int(sol.ret) == lt.ReturnValue.SUCCESSFUL_RETURN
+    x = np.asarray(sol.x)
+    assert min(np.linalg.norm(x - [1, 0]), np.linalg.norm(x - [0, 1])) < 1e-8
+    assert int(sol.algo_status) == lt.AlgorithmStatus.S_STATIONARY_SOLUTION
+    # Stationarity residual 2x - 2 - y_box - y_compl ~ 0 (qpOASES dual
+    # layout [box(nV); A(nC); L; R] under the default QPOASES_DENSE mode).
+    y = np.asarray(sol.y)
+    y_box, y_L, y_R = y[:2], y[2], y[3]
+    resid = 2 * x - 2 - y_box - np.array([y_L, y_R])
+    assert np.max(np.abs(resid)) < 1e-8
+
+
+def test_pas_warm_up_with_A():
+    # warm_up_w_A.cpp:35-37: add x1 + x2 <= 2.
+    sol = lt.solve(make_lcqp(Q=[[2., 0.], [0., 2.]], g=[-2., -2.],
+                             L=[[1., 0.]], R=[[0., 1.]],
+                             A=[[1., 1.]], lbA=[-1e20], ubA=[2.]),
+                   _opts())
+    assert int(sol.ret) == lt.ReturnValue.SUCCESSFUL_RETURN
+    x = np.asarray(sol.x)
+    assert min(np.linalg.norm(x - [1, 0]), np.linalg.norm(x - [0, 1])) < 1e-8
+
+
+def test_pas_shifted_bounds():
+    # warm_up_shifted.cpp: lbL = lbR = 1 (stresses the g_tilde quirk).
+    sol = lt.solve(make_lcqp(Q=[[2., 0.], [0., 2.]], g=[-2., -2.],
+                             L=[[1., 0.]], R=[[0., 1.]],
+                             lbL=[1.], lbR=[1.]),
+                   _opts())
+    assert int(sol.ret) == lt.ReturnValue.SUCCESSFUL_RETURN
+    x = np.asarray(sol.x)
+    Lx, Rx = x[0] - 1.0, x[1] - 1.0
+    assert Lx >= -1e-9 and Rx >= -1e-9
+    assert abs(Lx * Rx) < 1e-9
+
+
+def test_pas_box_constraints():
+    # Box handling through the qpOASES-parity mode (the OSQP mode rejects
+    # boxes, src/LCQProblem.cpp:929-957; PAS accepts them like qpOASES).
+    sol = lt.solve(make_lcqp(Q=[[2., 0.], [0., 2.]], g=[-2., -2.],
+                             L=[[1., 0.]], R=[[0., 1.]],
+                             lb=[0.5, 0.0], ub=[2.0, 2.0]),
+                   _opts())
+    assert int(sol.ret) == lt.ReturnValue.SUCCESSFUL_RETURN
+    x = np.asarray(sol.x)
+    # x1 >= 0.5 forces the (1, 0) branch.
+    assert np.linalg.norm(x - [1, 0]) < 1e-8
+
+
+def test_pas_infeasible_qp_reports_subsolver_error():
+    # OutputStatisticsTest.CheckQPReturnFlag (RunUnitTests.cpp:463-502):
+    # contradictory linear constraints must surface as a subsolver error.
+    sol = lt.solve(make_lcqp(Q=[[2., 0.], [0., 2.]], g=[-2., -2.],
+                             L=[[1., 0.]], R=[[0., 1.]],
+                             A=[[1., 0.], [1., 0.]],
+                             lbA=[1.0, -2.0], ubA=[2.0, -1.0]),
+                   _opts())
+    assert int(sol.ret) == lt.ReturnValue.SUBPROBLEM_SOLVER_ERROR
+    assert int(sol.stats.qp_exit_flag) <= 0
+
+
+def test_pas_matches_admm_on_random_family():
+    # Cross-engine agreement on the benchmark family: same optimum from
+    # both tiers (objective agreement; LCQPs are nonconvex so both engines
+    # must land on stationary points of equal quality).
+    rng = np.random.default_rng(7)
+    for _ in range(5):
+        data = random_lcqp(rng, nV=6, nC=2, nComp=2)
+        s_admm = lt.solve(data, _opts(inner_solver="admm"))
+        s_pas = lt.solve(data, _opts())
+        assert int(s_admm.ret) == lt.ReturnValue.SUCCESSFUL_RETURN
+        assert int(s_pas.ret) == lt.ReturnValue.SUCCESSFUL_RETURN
+        Q, g = np.asarray(data.Q), np.asarray(data.g)
+
+        def obj(x):
+            return 0.5 * x @ Q @ x + g @ x
+
+        xa, xp = np.asarray(s_admm.x), np.asarray(s_pas.x)
+        assert obj(xp) <= obj(xa) + 1e-6
+
+
+def test_pas_circle():
+    # OptimizeOnCircle at N=20 through the PAS tier (qpOASES analogue of
+    # examples/OptimizeOnCircle.cpp run with QPOASES_SPARSE).
+    data, x0 = optimize_on_circle(20)
+    sol = lt.solve(data, _opts(stationarity_tolerance=1e-2), x0=x0)
+    assert int(sol.ret) == lt.ReturnValue.SUCCESSFUL_RETURN
+    x = np.asarray(sol.x)[:2]
+    assert abs(np.linalg.norm(x) - 1.0) < 2e-2
+
+
+def test_pas_engine_unit():
+    # Engine-level contract: solve a tiny box-QP exactly from a cold start.
+    #   min 1/2 x'I x - x  s.t. 0 <= x <= [0.25, 2]
+    import jax.numpy as jnp
+    cfg = lt.Options().admm
+    P = jnp.eye(2, dtype=jnp.float64)
+    A = jnp.eye(2, dtype=jnp.float64)
+    q = jnp.array([-1.0, -1.0])
+    ws = admm.factorize(P, A, jnp.zeros(2), jnp.array([0.25, 2.0]), cfg,
+                        q_proto=q)
+    res = pas.solve(ws, q, admm.init_state(ws), cfg)
+    assert int(res.status) == admm.ADMM_SOLVED
+    np.testing.assert_allclose(np.asarray(res.x), [0.25, 1.0], atol=1e-10)
+    # Active upper bound carries a positive multiplier (OSQP sign).
+    assert float(res.y[0]) > 0
+
+
+def test_invalid_inner_solver_warns_and_defaults():
+    with pytest.warns(UserWarning):
+        o = lt.Options(inner_solver="nope")
+    assert o.inner_solver == "admm"
