@@ -47,6 +47,28 @@ if os.environ.get("LCQPOW_TPU_TEST_TPU", "0") != "1":
 import pytest  # noqa: E402
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _release_jax_executables():
+    """Free compiled executables between test modules.
+
+    Root cause of the round-1/round-2 suite segfaults: every compiled
+    XLA:CPU executable (including the per-primitive programs eager mode
+    dispatches) holds JIT code mappings; a full compile-heavy suite in one
+    process accumulates >65k memory maps and crashes into the kernel's
+    vm.max_map_count ceiling (measured: 61k maps at the instant of death,
+    limit 65530).  Clearing JAX's function caches after each module drops
+    the executables — and their mappings — while the persistent compile
+    cache keeps recompiles cheap.
+    """
+    yield
+    import gc
+
+    import jax
+
+    jax.clear_caches()
+    gc.collect()
+
+
 @pytest.fixture(scope="session")
 def eight_devices():
     import jax
