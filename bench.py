@@ -1,25 +1,45 @@
-"""Headline benchmark: batched warm-up-class LCQP solves per second per chip.
+"""Benchmarks: certified LCQP solves per second per chip.
 
-North star (BASELINE.md / BASELINE.json): >= 10,000 batched warm-up-class
-solves/sec/chip at matched optimality gap.  ``vs_baseline`` is measured
-throughput divided by that target.  Every counted solve is certified in
-float64 against the reference-default stationarity/complementarity tolerances
-(/root/reference/src/Options.cpp:297-298) — the "matched optimality gap"
-condition — by the mixed-precision pipeline (f32 homotopy predictor + f64
-corrector, lcqpow_tpu/mixed.py).
+Headline metric (the ONE JSON line on stdout): batched warm-up-class solves
+at batch 4096 — north star >= 10,000 certified solves/sec/chip at matched
+optimality gap (BASELINE.md / BASELINE.json).  ``vs_baseline`` is measured
+throughput divided by that target.
+
+Additional configs (written to ``BENCH_DETAIL.json`` + stderr):
+  * warmup-8192 / warmup-16384 — batch scaling (round-1 VERDICT Weak #2:
+    the 16k batch must stay within ~2x per-lane of the 4096 rate);
+  * circle — the reference's OptimizeOnCircle N=100 workload (nV=202,
+    nC=101, nComp=100; ``/root/reference/examples/OptimizeOnCircle.cpp:32-46``)
+    batched over perturbed projection targets, solved from the lifted
+    feasible start like the reference (``:101-107``);
+  * ocp — the reference's file-loaded OCP instance (nV=151, nC=50,
+    nComp=100; ``examples/solve_lcqp_from_file.cpp:59-160``) batched over
+    perturbed gradients.  Skipped when the reference data mount is absent.
+
+Every counted solve is certified in double-word-f32 against the
+reference-default stationarity/complementarity tolerances
+(``/root/reference/src/Options.cpp:297-298``) by the mixed-precision
+pipeline (f32 homotopy predictor + compensated-f32 corrector,
+lcqpow_tpu/mixed.py); the circle config uses the reference example's own
+looser stationarity tolerance (1e-2, ``OptimizeOnCircle.cpp:44``).
 
 Prints exactly ONE JSON line to stdout; diagnostics go to stderr.
 
 Environment knobs:
-  LCQPOW_BENCH_BATCH   batch size (default 4096)
-  LCQPOW_BENCH_REPS    timed repetitions (default 3)
-  LCQPOW_BENCH_MODE    "mixed" (default) | "f64" (pure-f64 reference path)
+  LCQPOW_BENCH_BATCH    headline batch size (default 4096)
+  LCQPOW_BENCH_REPS     timed repetitions (default 3)
+  LCQPOW_BENCH_MODE     "mixed" (default) | "f64" (pure-f64 reference path)
+  LCQPOW_BENCH_CONFIGS  comma list (default "warmup,scaling,circle,ocp")
 """
 
+import dataclasses
 import json
 import os
 import sys
 import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+REF_DATA = "/root/reference/examples/example_data"
 
 
 def log(*a):
@@ -28,8 +48,7 @@ def log(*a):
 
 def main():
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                          os.path.join(os.path.dirname(
-                              os.path.abspath(__file__)), ".jax_cache"))
+                          os.path.join(REPO, ".jax_cache"))
     os.makedirs(os.environ["JAX_COMPILATION_CACHE_DIR"], exist_ok=True)
     import jax
     # This JAX build ignores the JAX_COMPILATION_CACHE_DIR env var; the
@@ -37,93 +56,164 @@ def main():
     jax.config.update("jax_compilation_cache_dir",
                       os.environ["JAX_COMPILATION_CACHE_DIR"])
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
     import numpy as np
 
     import lcqpow_tpu as lt
-    from lcqpow_tpu.problems import random_lcqp
+    from lcqpow_tpu import io
+    from lcqpow_tpu.problems import optimize_on_circle, random_lcqp
 
     B = int(os.environ.get("LCQPOW_BENCH_BATCH", "4096"))
     reps = int(os.environ.get("LCQPOW_BENCH_REPS", "3"))
     mode = os.environ.get("LCQPOW_BENCH_MODE", "mixed")
+    configs = os.environ.get("LCQPOW_BENCH_CONFIGS",
+                             "warmup,scaling,circle,ocp").split(",")
 
     log(f"devices: {jax.devices()}")
-    log(f"x64: {jax.config.jax_enable_x64}, batch: {B}, mode: {mode}")
-
-    # Warm-up-class instances: small strictly convex LCQPs with
-    # complementarity pairs (BASELINE.json randomized-batch config).
-    # Fleet assembly stays entirely in NumPy (as_numpy=True): on the
-    # tunneled-TPU transport any device->host readback during setup would
-    # flip the process into a ~33 ms-per-launch synchronous dispatch mode.
-    rng = np.random.default_rng(0)
-    problems = [random_lcqp(rng, nV=8, nC=2, nComp=2, as_numpy=True)
-                for _ in range(64)]
-    base = jax.tree.map(lambda *xs: np.stack(xs), *problems)
-    # Tile to the full batch (distinct leading-axis data per lane).
-    reps_needed = -(-B // 64)
-    batch = jax.tree.map(
-        lambda x: np.tile(x, (reps_needed,) + (1,) * (x.ndim - 1))[:B],
-        base)
-    # Perturb the gradients so every lane is a distinct instance.
-    import dataclasses
-    batch = dataclasses.replace(
-        batch, g=batch.g + 0.01 * rng.normal(size=(B, 8)))
-    batch = jax.tree.map(jax.numpy.asarray, batch)
-
-    # The warm-up class converges in ~15 homotopy iterations; 200 bounds the
-    # lockstep loop without changing outcomes.
-    opts = lt.Options(print_level=lt.PrintLevel.NONE, max_iterations=200)
+    log(f"x64: {jax.config.jax_enable_x64}, headline batch: {B}, mode: {mode}")
 
     if mode == "mixed":
-        from lcqpow_tpu.mixed import solve_mixed
-        step = lambda d, k: solve_mixed(d, opts, key=k)
+        from lcqpow_tpu.mixed import solve_mixed as base_solve
     else:
-        from lcqpow_tpu.solver import solve
-        step = lambda d, k: solve(d, opts, key=k)
-    fn = jax.jit(jax.vmap(step, in_axes=(0, 0)))
-    keys = jax.random.split(jax.random.PRNGKey(1), B)
+        from lcqpow_tpu.solver import solve as base_solve
 
-    t0 = time.time()
-    sol = fn(batch, keys)
-    jax.block_until_ready(sol.x)
-    log(f"compile+first run: {time.time()-t0:.1f}s")
+    def make_warmup_batch(B):
+        """Warm-up-class fleet: small strictly convex LCQPs with
+        complementarity pairs (BASELINE.json randomized-batch config).
+        Assembly stays in NumPy: on the tunneled-TPU transport any
+        device->host readback during setup would flip the process into a
+        ~33 ms-per-launch synchronous dispatch mode."""
+        rng = np.random.default_rng(0)
+        problems = [random_lcqp(rng, nV=8, nC=2, nComp=2, as_numpy=True)
+                    for _ in range(64)]
+        base = jax.tree.map(lambda *xs: np.stack(xs), *problems)
+        reps_needed = -(-B // 64)
+        batch = jax.tree.map(
+            lambda x: np.tile(x, (reps_needed,) + (1,) * (x.ndim - 1))[:B],
+            base)
+        batch = dataclasses.replace(
+            batch, g=batch.g + 0.01 * rng.normal(size=(B, 8)))
+        return jax.tree.map(jnp.asarray, batch), None
 
-    # Timed reps BEFORE any device->host readback: on the tunneled-TPU
-    # transport, the first host readback permanently switches the process
-    # into a synchronous dispatch mode costing ~33 ms per program launch
-    # (~10% of a rep here).  block_until_ready only waits — it does not
-    # read — so the timing loop stays in async mode; all verification
-    # readbacks happen below, after timing.
-    times = []
-    for r in range(reps):
+    def make_circle_batch(B):
+        """OptimizeOnCircle N=100 fleet over perturbed projection targets
+        around the reference's x_ref=(0.5,-0.6); started from the lifted
+        feasible point like the reference example."""
+        rng = np.random.default_rng(1)
+        data, x0 = optimize_on_circle(100, as_numpy=True)
+        W = np.array([[17., -15.], [-15., 17.]])
+        refs = np.array([0.5, -0.6]) + 0.05 * rng.normal(size=(B, 2))
+        g = np.tile(np.asarray(data.g), (B, 1))
+        g[:, :2] = -(refs @ W.T)
+        batch = jax.tree.map(
+            lambda x: np.tile(x, (B,) + (1,) * x.ndim), data)
+        batch = dataclasses.replace(batch, g=g)
+        x0b = np.tile(np.asarray(x0), (B, 1))
+        x0b[:, :2] = refs
+        return (jax.tree.map(jnp.asarray, batch), jnp.asarray(x0b))
+
+    def make_ocp_batch(B):
+        """File-loaded OCP fleet (nV=151): the reference instance with
+        per-lane gradient perturbations."""
+        rng = np.random.default_rng(2)
+        data = io.load_lcqp_from_files(REF_DATA, as_numpy=True)
+        x0 = io.load_x0_from_files(REF_DATA)
+        g = np.tile(np.asarray(data.g), (B, 1))
+        g = g + 0.001 * rng.normal(size=g.shape) * (1.0 + np.abs(g))
+        batch = jax.tree.map(
+            lambda x: np.tile(x, (B,) + (1,) * x.ndim), data)
+        batch = dataclasses.replace(batch, g=g)
+        x0b = None if x0 is None else jnp.asarray(np.tile(x0, (B, 1)))
+        return jax.tree.map(jnp.asarray, batch), x0b
+
+    def run_config(name, make_batch, B, opts):
+        """Compile + time one config.  Returns a dict; readbacks deferred
+        (first device->host readback switches the tunneled-TPU transport
+        into a ~33 ms/launch synchronous mode — block_until_ready only
+        waits, so the timing loop stays async)."""
+        batch, x0 = make_batch(B)
+        keys = jax.random.split(jax.random.PRNGKey(1), B)
+        if x0 is None:
+            fn = jax.jit(jax.vmap(lambda d, k: base_solve(d, opts, key=k),
+                                  in_axes=(0, 0)))
+            args = (batch, keys)
+        else:
+            fn = jax.jit(jax.vmap(
+                lambda d, k, a: base_solve(d, opts, x0=a, key=k),
+                in_axes=(0, 0, 0)))
+            args = (batch, keys, x0)
         t0 = time.time()
-        sol = fn(batch, keys)
+        sol = fn(*args)
         jax.block_until_ready(sol.x)
-        times.append(time.time() - t0)
-    t = min(times)
+        t_compile = time.time() - t0
+        log(f"[{name}] compile+first run: {t_compile:.1f}s")
+        times = []
+        for _ in range(reps):
+            t0 = time.time()
+            sol = fn(*args)
+            jax.block_until_ready(sol.x)
+            times.append(time.time() - t0)
+        t = min(times)
+        log(f"[{name}] times: {[f'{x:.3f}' for x in times]}; best {t:.3f}s")
+        return dict(name=name, batch=B, t_best=t, times=times,
+                    t_compile=t_compile, _sol=sol, _data=batch)
 
-    ok = np.asarray(sol.ret) == 0
-    n_ok = int(ok.sum())
-    log(f"certified {n_ok}/{B}; mean iters "
-        f"{float(np.mean(np.asarray(sol.stats.iter_total))):.1f}")
+    opts = lt.Options(print_level=lt.PrintLevel.NONE, max_iterations=200)
+    circle_opts = opts.replace(stationarity_tolerance=1e-2,
+                               qp_solver=lt.QPSolver.OSQP_SPARSE)
 
-    # Independent host-side audit of the optimality gap on a sample.
-    xs = np.asarray(sol.x, dtype=np.float64)
-    max_phi = 0.0
-    for i in range(0, B, max(1, B // 64)):
-        L = np.asarray(batch.L[i], np.float64)
-        R = np.asarray(batch.R[i], np.float64)
-        max_phi = max(max_phi, abs((L @ xs[i]) @ (R @ xs[i])))
-    log(f"max |phi| on sample: {max_phi:.3e}")
-    # Only certified solves count toward the throughput claim.
-    throughput = n_ok / t
-    log(f"times: {[f'{x:.3f}' for x in times]}; best {t:.3f}s "
-        f"-> {throughput:.0f} certified solves/s")
+    results = []
+    if "warmup" in configs:
+        results.append(run_config(f"warmup-{B}", make_warmup_batch, B, opts))
+    if "scaling" in configs:
+        for Bs in (2 * B, 4 * B):
+            results.append(run_config(f"warmup-{Bs}", make_warmup_batch,
+                                      Bs, opts))
+    if "circle" in configs:
+        results.append(run_config("circle-N100", make_circle_batch, 128,
+                                  circle_opts))
+    if "ocp" in configs:
+        if os.path.isdir(REF_DATA):
+            results.append(run_config("ocp-file", make_ocp_batch, 128, opts))
+        else:
+            log("[ocp-file] reference data mount absent; skipped")
 
+    # ---- verification readbacks (after ALL timing) --------------------------
+    detail = []
+    headline = None
+    for r in results:
+        sol, batch = r.pop("_sol"), r.pop("_data")
+        ok = np.asarray(sol.ret) == 0
+        n_ok = int(ok.sum())
+        Bc = r["batch"]
+        thr = n_ok / r["t_best"]
+        # Host-side audit of the complementarity gap on a sample of lanes.
+        xs = np.asarray(sol.x, dtype=np.float64)
+        max_phi = 0.0
+        for i in range(0, Bc, max(1, Bc // 32)):
+            L = np.asarray(batch.L[i], np.float64)
+            Rm = np.asarray(batch.R[i], np.float64)
+            max_phi = max(max_phi, abs((L @ xs[i]) @ (Rm @ xs[i])))
+        r.update(certified=n_ok, throughput=round(thr, 1),
+                 per_lane_us=round(1e6 * r["t_best"] / Bc, 2),
+                 max_phi_sample=float(f"{max_phi:.3e}"),
+                 mean_iters=float(np.mean(np.asarray(sol.stats.iter_total))))
+        log(f"[{r['name']}] certified {n_ok}/{Bc} -> {thr:.0f} solves/s "
+            f"({r['per_lane_us']} us/lane); max|phi| sample {max_phi:.2e}")
+        detail.append(r)
+        if r["name"] == f"warmup-{B}":
+            headline = r
+
+    with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1)
+
+    if headline is None:  # headline config not run; fall back to first
+        headline = detail[0]
     print(json.dumps({
         "metric": "warmup_class_solves_per_sec_per_chip",
-        "value": round(throughput, 1),
+        "value": headline["throughput"],
         "unit": "solves/s",
-        "vs_baseline": round(throughput / 10000.0, 3),
+        "vs_baseline": round(headline["throughput"] / 10000.0, 3),
     }))
 
 

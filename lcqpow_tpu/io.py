@@ -54,7 +54,8 @@ def _maybe(path: Optional[str]) -> Optional[np.ndarray]:
 
 
 def load_lcqp_from_files(directory: str, *, dtype=None,
-                         names: Optional[dict] = None) -> LCQPData:
+                         names: Optional[dict] = None,
+                         as_numpy: bool = False) -> LCQPData:
     """Load an LCQP from a directory of ``.txt`` files using the reference's
     file layout (``Q.txt g.txt L.txt R.txt [lbL ubL lbR ubR A lbA ubA lb ub]``).
 
@@ -87,7 +88,7 @@ def load_lcqp_from_files(directory: str, *, dtype=None,
         lbR=_maybe(p("lbR")), ubR=_maybe(p("ubR")),
         A=A, lbA=lbA, ubA=ubA,
         lb=_maybe(p("lb")), ub=_maybe(p("ub")),
-        dtype=dtype,
+        dtype=dtype, as_numpy=as_numpy,
     )
 
 

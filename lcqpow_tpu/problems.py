@@ -23,7 +23,8 @@ def warm_up(dtype=None) -> LCQPData:
                      L=[[1., 0.]], R=[[0., 1.]], dtype=dtype)
 
 
-def optimize_on_circle(N: int = 100, x_ref=(0.5, -0.6), dtype=None):
+def optimize_on_circle(N: int = 100, x_ref=(0.5, -0.6), dtype=None,
+                       as_numpy: bool = False):
     """Project ``x_ref`` onto the unit circle discretized as N vertices with
     complementarity-based vertex selection (``examples/OptimizeOnCircle.cpp``):
 
@@ -71,7 +72,8 @@ def optimize_on_circle(N: int = 100, x_ref=(0.5, -0.6), dtype=None):
     lbA[N] = 1.0
     ubA[N] = 1.0
 
-    data = make_lcqp(Q, g, L, R, A=A, lbA=lbA, ubA=ubA, dtype=dtype)
+    data = make_lcqp(Q, g, L, R, A=A, lbA=lbA, ubA=ubA, dtype=dtype,
+                     as_numpy=as_numpy)
     return data, x0
 
 

@@ -200,7 +200,14 @@ def factorize(P, A, l, u, cfg: ADMMOptions, q_proto=None) -> QPWorkspace:
     n = P.shape[-1]
     M = Ps + cfg.sigma * jnp.eye(n, dtype=dtype) + (As * rho[:, None]).T @ As
     Minv = spd_inverse(M)
-    Pinv_d = spd_inverse(P + cfg.polish_delta * jnp.eye(n, dtype=dtype))
+    # Polish preconditioner on the SCALED Hessian: after Ruiz the curvature
+    # is O(1) per coordinate, so the Schur complements the polish builds
+    # stay f32-representable even when the raw Q mixes 1e1 and 1e-12
+    # curvatures (the circle problem's lifted variables,
+    # /root/reference/examples/OptimizeOnCircle.cpp:67-68 — unscaled, the
+    # f32 predictor's polish Schur had cond ~1e10 and every lane fell into
+    # the full ADMM budget).
+    Pinv_d = spd_inverse(Ps + cfg.polish_delta * jnp.eye(n, dtype=dtype))
 
     return QPWorkspace(P=P, A=A, l=l, u=u, D=D, E=E, c=c,
                        Ps=Ps, As=As, ls=ls, us=us,
@@ -275,37 +282,49 @@ def _infeasibility(ws: QPWorkspace, qs, dxs, dys, cfg: ADMMOptions):
 def _polish_solve(ws: QPWorkspace, q, low, up, cfg: ADMMOptions):
     """Solve the equality-KKT system on the masked active set via a
     delta-regularized Schur complement + iterative refinement.  Fixed shapes,
-    branchless.  Uses the cached ``ws.Pinv_d``; the m x m Schur inverse is
-    compile-size O(1) in m via the blocked sweep (``ops/chol.py``), which is
-    what makes the reference's circle/OCP scale (m ~ 500,
+    branchless.  The m x m Schur inverse is compile-size O(1) in m via the
+    blocked sweep (``ops/chol.py``), which is what makes the reference's
+    circle/OCP scale (m ~ 500,
     ``/root/reference/examples/OptimizeOnCircle.cpp:32-46``) compile in
-    seconds instead of blowing up XLA (round-1 VERDICT Weak #1/#4)."""
+    seconds instead of blowing up XLA (round-1 VERDICT Weak #1/#4).
+
+    The whole solve runs in the RUIZ-SCALED space (``ws.Ps``/``ws.As``,
+    cached ``ws.Pinv_d = inv(Ps + delta I)``): with badly mixed curvature
+    scales the unscaled Schur complement is numerically singular in float32
+    (circle-class problems: cond ~1e10) while the scaled one is O(1)-
+    conditioned.  Masks are scale-invariant; the result is unscaled on
+    return (``x = D xs``, ``nu = E nus / c`` — the OSQP scaling identities),
+    and the caller's KKT acceptance test stays in unscaled space, so
+    certification semantics are unchanged.
+    """
     dtype = ws.P.dtype
     delta = jnp.asarray(cfg.polish_delta, dtype)
     act = low | up
     mf = act.astype(dtype)
-    b = jnp.where(low, ws.l, jnp.where(up, ws.u, 0.0))
+    # Scaled RHS: qs = c*D*q, bounds already scaled in the workspace.
+    qs = ws.c * ws.D * q
+    b = jnp.where(low, ws.ls, jnp.where(up, ws.us, 0.0))
     b = jnp.clip(b, -INFTY, INFTY) * mf
 
-    G = ws.A * mf[:, None]          # masked (zeroed inactive rows)
+    G = ws.As * mf[:, None]          # masked (zeroed inactive rows)
     S = G @ (ws.Pinv_d @ G.T) + jnp.diag(jnp.where(act, delta, 1.0))
     Sinv = spd_inverse(S)
 
-    nu = Sinv @ (-(b + G @ (ws.Pinv_d @ q)))
-    x_pol = -(ws.Pinv_d @ (q + G.T @ nu))
+    nu = Sinv @ (-(b + G @ (ws.Pinv_d @ qs)))
+    x_pol = -(ws.Pinv_d @ (qs + G.T @ nu))
 
-    # Iterative refinement against the *unregularized* KKT system (also
-    # absorbs the error of the explicit inverses).
+    # Iterative refinement against the *unregularized* scaled KKT system
+    # (also absorbs the error of the explicit inverses).
     def refine(_, carry):
         x_pol, nu = carry
-        r1 = ws.P @ x_pol + q + G.T @ nu
+        r1 = ws.Ps @ x_pol + qs + G.T @ nu
         r2 = G @ x_pol - b
         dnu = Sinv @ (r2 - G @ (ws.Pinv_d @ r1))
         dx = -(ws.Pinv_d @ (r1 + G.T @ dnu))
         return x_pol + dx, nu + dnu
 
     x_pol, nu = lax.fori_loop(0, cfg.polish_refine_iter, refine, (x_pol, nu))
-    return x_pol, jnp.where(act, nu, 0.0)
+    return ws.D * x_pol, jnp.where(act, ws.E * nu / ws.c, 0.0)
 
 
 def _polish(ws: QPWorkspace, q, y, cfg: ADMMOptions):
