@@ -62,6 +62,10 @@ _COMPL_TOL_F32 = 1e-5
 # step contracts the true-KKT residual by ~max(cond(S)*eps32, delta*||Pinv||);
 # delta trades per-step contraction against preconditioner fidelity.
 _DELTA = 1e-5
+# Regularization of the preconditioner Hessian inverse — larger than _DELTA
+# for the same reason as ADMMOptions.polish_precond_delta: it bounds
+# ||Pinv|| (hence cond(S) in f32); the bias is refined away.
+_DELTA_P = 1e-3
 # df32 refinement steps per KKT solve: with degenerate (dependent) active
 # rows the contraction can be as slow as ~0.05/step, so budget enough steps
 # to cross from f32 seeds (~1e-7) to the certificate tolerance (2.2e-13).
@@ -85,7 +89,17 @@ def _predictor_options(options: Options) -> Options:
         eps_prim_inf=max(a.eps_prim_inf, 1e-6),
         eps_dual_inf=max(a.eps_dual_inf, 1e-6),
         polish_delta=max(a.polish_delta, 1e-5),
+        polish_precond_delta=max(a.polish_precond_delta or a.polish_delta,
+                                 1e-3),
         max_iter=min(a.max_iter, 500),
+        # f32 ADMM stalls where f64 limps through: rounding noise in the
+        # fixed-point iteration acts like a residual floor, and a mis-scaled
+        # rho leaves the dual residual orbiting above tolerance forever
+        # (measured on the jitted circle predictor: rd oscillates ~0.3 at
+        # every rho).  The OSQP-style rho adaptation re-balances the
+        # residuals and was the single lever that flipped that workload
+        # from SUBPROBLEM_SOLVER_ERROR to the exact f64 solution.
+        adaptive_rho=True,
     )
     return options.replace(
         stationarity_tolerance=max(options.stationarity_tolerance,
@@ -144,9 +158,19 @@ def correct_and_certify(data: LCQPData, options: Options,
     has_l = l32 > -inf32
     has_u = u32 < inf32
 
-    # f32 preconditioner pieces (one-time).
+    # f32 preconditioner pieces (one-time), built in RUIZ-SCALED space.
+    # The raw Hessian mixes curvatures 1e-12..1e1 (the circle problem's
+    # lifted variables), so inv(Qhi + delta I) has norm ~1/delta and the
+    # active-set Schur complement is ~1e10-conditioned — one preconditioner
+    # application amplified the df32 residual 1e12x (measured) and every
+    # corrector step was safeguard-rejected.  After equilibration the
+    # curvature is O(1) per coordinate (cond(S) ~ 1e6 measured, f32-solvable);
+    # residuals stay df32-exact in unscaled space and corrections map back
+    # via the OSQP scaling identities (x = D xs, nu = E nus / c).
     delta = f32(_DELTA)
-    Pinv = spd_inverse(Qhi + delta * jnp.eye(n, dtype=f32))
+    from .solvers.admm import _ruiz_equilibrate
+    Dsc, Esc, csc, Qs, As_sc = _ruiz_equilibrate(Qhi, Ahi, g_df.hi)
+    Pinv = spd_inverse(Qs + f32(_DELTA_P) * jnp.eye(n, dtype=f32))
 
     def Qx_df(x: DF) -> DF:
         return df32.split_matvec(Qhi, Qlo, x)
@@ -205,19 +229,27 @@ def correct_and_certify(data: LCQPData, options: Options,
         act = low | up
         mf = act.astype(f32)
 
-        # f32 Schur preconditioner for this active set.
-        G32 = Ahi * mf[:, None]
-        S = G32 @ (Pinv @ G32.T) + jnp.diag(jnp.where(act, delta, f32(1.0)))
+        # f32 Schur preconditioner for this active set (scaled space).
+        # Regularization is RELATIVE to the Schur diagonal — see
+        # admm._polish_solve for why an absolute delta rounds away in f32.
+        G32 = As_sc * mf[:, None]
+        H = G32 @ (Pinv @ G32.T)
+        reg = delta * (1.0 + jnp.diagonal(H))
+        S = H + jnp.diag(jnp.where(act, reg, f32(1.0)))
         Sinv = spd_inverse(S)
 
         def precond(r1, r2):
-            """Solve the delta-regularized KKT correction in f32:
-            Qd dx - G' dnu = -r1;  G dx + delta dnu = -r2 (active),
-            dnu = -r2 (inactive)."""
-            t = G32 @ (Pinv @ r1) - r2
-            dnu = Sinv @ t
-            dx = Pinv @ (G32.T @ dnu - r1)
-            return dx, dnu
+            """Solve the delta-regularized KKT correction: unscaled residuals
+            in, unscaled corrections out; the solve itself runs in the Ruiz-
+            scaled space.  Identities: dx = D dxs, dnu = E dnus / c, so
+            r1s = c D r1 and (active) r2s = E r2; inactive rows carry
+            r2 = nu and must come out as dnu = -nu, hence r2s = c nu / E."""
+            r1s = csc * Dsc * r1
+            r2s = jnp.where(act, Esc * r2, csc * r2 / Esc)
+            t = G32 @ (Pinv @ r1s) - r2s
+            dnus = Sinv @ t
+            dxs = Pinv @ (G32.T @ dnus - r1s)
+            return Dsc * dxs, Esc * dnus / csc
 
         b_df = DF(jnp.where(low, l_df.hi, jnp.where(up, u_df.hi, 0.0)) * mf,
                   jnp.where(low, l_df.lo, jnp.where(up, u_df.lo, 0.0)) * mf)

@@ -57,7 +57,16 @@ class ADMMOptions:
     # well-scaled problems, so the reference-parity default keeps it off.
     adaptive_rho: bool = False
     adaptive_rho_tolerance: float = 5.0  # refactorize when ratio drifts 5x
-    polish_delta: float = 1e-8  # regularization used by the polish KKT solve
+    polish_delta: float = 1e-8  # Schur regularization of the polish KKT solve
+    # Regularization of the cached polish PRECONDITIONER Hessian inverse
+    # (inv(Ps + polish_precond_delta I)).  Deliberately a separate, larger
+    # knob: it bounds ||Pinv_d|| (and hence the Schur complement's norm and
+    # f32 condition number), while the delta-induced bias is removed by the
+    # refinement loop — measured on the circle problem's f32 predictor,
+    # precond 1e-3 / Schur 1e-5 contracts the KKT residual ~30x/step vs
+    # ~1.5x/step with both at 1e-5.  None -> falls back to polish_delta
+    # (the f64 default behavior).
+    polish_precond_delta: Optional[float] = None
     polish_refine_iter: int = 3
     polish_active_set_rounds: int = 3  # bounded active-set refinement rounds
     pas_max_pivots: int = 30    # pivot-round budget of the PAS engine

@@ -207,7 +207,10 @@ def factorize(P, A, l, u, cfg: ADMMOptions, q_proto=None) -> QPWorkspace:
     # /root/reference/examples/OptimizeOnCircle.cpp:67-68 — unscaled, the
     # f32 predictor's polish Schur had cond ~1e10 and every lane fell into
     # the full ADMM budget).
-    Pinv_d = spd_inverse(Ps + cfg.polish_delta * jnp.eye(n, dtype=dtype))
+    dP = cfg.polish_precond_delta
+    if dP is None:
+        dP = cfg.polish_delta
+    Pinv_d = spd_inverse(Ps + dP * jnp.eye(n, dtype=dtype))
 
     return QPWorkspace(P=P, A=A, l=l, u=u, D=D, E=E, c=c,
                        Ps=Ps, As=As, ls=ls, us=us,
@@ -307,7 +310,14 @@ def _polish_solve(ws: QPWorkspace, q, low, up, cfg: ADMMOptions):
     b = jnp.clip(b, -INFTY, INFTY) * mf
 
     G = ws.As * mf[:, None]          # masked (zeroed inactive rows)
-    S = G @ (ws.Pinv_d @ G.T) + jnp.diag(jnp.where(act, delta, 1.0))
+    H = G @ (ws.Pinv_d @ G.T)
+    # Regularize RELATIVE to the Schur diagonal: ||H|| reaches ~1/polish_delta
+    # when active rows hit weakly-curved directions, and an absolute delta
+    # below ||H||*eps32 rounds away entirely — S then carries f32-singular
+    # directions (dependent active rows) and the solve explodes.  The extra
+    # regularization error is absorbed by the refinement loop below.
+    reg = delta * (1.0 + jnp.diagonal(H))
+    S = H + jnp.diag(jnp.where(act, reg, 1.0))
     Sinv = spd_inverse(S)
 
     nu = Sinv @ (-(b + G @ (ws.Pinv_d @ qs)))
@@ -340,18 +350,45 @@ def _polish(ws: QPWorkspace, q, y, cfg: ADMMOptions):
     from qpOASES' active-set solves and OSQP's ``polish=true`` default,
     ``src/Options.cpp:332``).  Operates fully in unscaled space.
     """
-    low = ws.eq_mask | ((y < 0) & (ws.l > -INFTY))
-    up = (y > 0) & (ws.u < INFTY) & ~low
+    has_l = ws.l > -INFTY
+    has_u = ws.u < INFTY
+    low = ws.eq_mask | ((y < 0) & has_l)
+    up = (y > 0) & has_u & ~low
 
     x_pol, y_pol = _polish_solve(ws, q, low, up, cfg)
+    # Keep the first KKT-accepted candidate: a later single-drop round on a
+    # degenerate set can step off a perfectly good point, and the budget may
+    # run out before the set is recovered.
+    found = _kkt_ok(ws, q, x_pol, y_pol, cfg)
+    x_best, y_best = x_pol, y_pol
     for _ in range(int(cfg.polish_active_set_rounds)):
         Ax = ws.A @ x_pol
-        # Drop wrong-signed multipliers; add violated rows; keep equalities.
-        low = (low & (y_pol < 0)) | (Ax < ws.l - cfg.polish_delta) | ws.eq_mask
-        up = (up & (y_pol > 0)) | (Ax > ws.u + cfg.polish_delta)
-        low = low & (ws.l > -INFTY)
-        up = up & (ws.u < INFTY) & ~low
+        rp = jnp.max(jnp.abs(Ax - jnp.clip(Ax, ws.l, ws.u)))
+        # Always add violated rows (keep equalities pinned).
+        low = (low | (Ax < ws.l - cfg.polish_delta) | ws.eq_mask) & has_l
+        up = (up | (Ax > ws.u + cfg.polish_delta)) & has_u & ~low
+        # Drop ONE wrong-signed row per round, and only once primal-feasible.
+        # Dropping all wrong-signed rows at once (Murty-style) oscillates on
+        # degenerate active sets: weakly-active rows (true multiplier ~0,
+        # solve-noise sign) get mass-evicted, the next candidate is wildly
+        # infeasible, and the set is rebuilt one row per round — measured 7+
+        # rounds on the circle problem's f32 predictor vs 3 with this rule.
+        # Single-drop is the classic active-set pivot (qpOASES' working-set
+        # update makes one exchange per iteration for the same reason).
+        feas = rp <= cfg.eps_abs * (1.0 + jnp.max(jnp.abs(Ax)))
+        wrong = jnp.where(low & ~ws.eq_mask, jnp.maximum(y_pol, 0.0), 0.0) \
+            + jnp.where(up & ~ws.eq_mask, jnp.maximum(-y_pol, 0.0), 0.0)
+        worst = jnp.argmax(wrong)
+        keep = ~(feas & (wrong[worst] > 0))
+        low = low.at[worst].set(low[worst] & keep)
+        up = up.at[worst].set(up[worst] & keep)
         x_pol, y_pol = _polish_solve(ws, q, low, up, cfg)
+        ok = ~found & _kkt_ok(ws, q, x_pol, y_pol, cfg)
+        x_best = jnp.where(ok, x_pol, x_best)
+        y_best = jnp.where(ok, y_pol, y_best)
+        found = found | ok
+    x_pol = jnp.where(found, x_best, x_pol)
+    y_pol = jnp.where(found, y_best, y_pol)
     return x_pol, y_pol
 
 
