@@ -151,7 +151,12 @@ def main():
         for _ in range(reps):
             t0 = time.time()
             sol = fn(*args)
-            jax.block_until_ready(sol.x)
+            # Honest wall clock REQUIRES a device->host readback: on the
+            # tunneled-TPU transport block_until_ready can return before
+            # execution finishes (measured 0.1 ms "timings" for a 600 ms
+            # solve).  One int32 readback costs ~30 ms of transport sync —
+            # included in the reported time, conservatively.
+            _ = int(np.asarray(sol.ret[0]))
             times.append(time.time() - t0)
         t = min(times)
         log(f"[{name}] times: {[f'{x:.3f}' for x in times]}; best {t:.3f}s")
@@ -194,12 +199,52 @@ def main():
             L = np.asarray(batch.L[i], np.float64)
             Rm = np.asarray(batch.R[i], np.float64)
             max_phi = max(max_phi, abs((L @ xs[i]) @ (Rm @ xs[i])))
+        sub_iters = np.asarray(sol.stats.subproblem_iter)
         r.update(certified=n_ok, throughput=round(thr, 1),
                  per_lane_us=round(1e6 * r["t_best"] / Bc, 2),
                  max_phi_sample=float(f"{max_phi:.3e}"),
-                 mean_iters=float(np.mean(np.asarray(sol.stats.iter_total))))
+                 mean_iters=float(np.mean(np.asarray(sol.stats.iter_total))),
+                 # Efficiency counters (VERDICT r2 Missing #3): accumulated
+                 # inner-QP (ADMM) iterations per lane are the canary for the
+                 # polish-first architecture — when polish accepts, this is
+                 # ~0; the round-2 regression showed 17-28.
+                 mean_subproblem_iters=float(np.mean(sub_iters)),
+                 max_subproblem_iters=int(np.max(sub_iters)))
+        if sol.stats.corrector_steps is not None:
+            cs = np.asarray(sol.stats.corrector_steps)
+            stages = np.asarray(sol.stats.certified_stage)
+            r.update(
+                mean_corrector_steps=float(np.mean(cs)),
+                certified_by_stage={
+                    int(s): int((stages == s).sum())
+                    for s in np.unique(stages)})
+        # Simple FLOP model -> achieved FLOP/s.  Dominant terms per lane:
+        # one-time factorization (two SPD inverses ~ 2*2n^3 + Schur/M builds
+        # ~ 2mn^2), per homotopy pass one polish bundle ((1+rounds) KKT
+        # solves: Schur build mn^2 + m^2 n, m x m inverse 2m^3, refinement
+        # 3*(m^2+mn+n^2)) and per accumulated ADMM iteration 2mn + n^2.
+        n = int(batch.Q.shape[-1])
+        m = int(batch.A.shape[-2] + 2 * batch.L.shape[-2] + n)
+        rounds = 4  # 1 + polish_active_set_rounds
+        per_pass = rounds * (m * n * n + m * m * n + 2 * m ** 3
+                             + 3 * (m * m + m * n + n * n))
+        fl = (4 * n ** 3 + 2 * m * n * n
+              + np.asarray(sol.stats.iter_total, np.float64) * per_pass
+              + sub_iters.astype(np.float64) * (2 * m * n + n * n))
+        total_flops = float(np.sum(fl))
+        r.update(model_gflops=round(total_flops / 1e9, 2),
+                 achieved_gflops_per_s=round(total_flops / r["t_best"] / 1e9,
+                                             1))
         log(f"[{r['name']}] certified {n_ok}/{Bc} -> {thr:.0f} solves/s "
-            f"({r['per_lane_us']} us/lane); max|phi| sample {max_phi:.2e}")
+            f"({r['per_lane_us']} us/lane); max|phi| sample {max_phi:.2e}; "
+            f"mean sub-iters {r['mean_subproblem_iters']:.1f}; "
+            f"~{r['achieved_gflops_per_s']} GFLOP/s")
+        # Loud regression canary (VERDICT r2 next-round #6): on warm-up-class
+        # configs the polish-first path must keep ADMM iterations near zero.
+        if r["name"].startswith("warmup") and r["mean_subproblem_iters"] > 10:
+            r["regression_alert"] = "polish-first not accepting: mean " \
+                f"subproblem iters {r['mean_subproblem_iters']:.1f} > 10"
+            log(f"*** REGRESSION ALERT [{r['name']}]: {r['regression_alert']}")
         detail.append(r)
         if r["name"] == f"warmup-{B}":
             headline = r

@@ -92,7 +92,11 @@ class LCQPData:
     def has_box(self) -> bool:
         """True if any finite box bound is present.  Mirrors the reference's
         NULL-pointer check used to reject box constraints in OSQP mode
-        (``src/LCQProblem.cpp:929-957``)."""
+        (``src/LCQProblem.cpp:929-957``).
+
+        WARNING: on device-resident leaves this forces a device->host sync;
+        hot paths (e.g. :meth:`compat.LCQProblem.run_solver`) must use a
+        host-side flag captured at ingestion instead."""
         return bool(jnp.any(self.lb > -INFTY) | jnp.any(self.ub < INFTY))
 
     # -- stacked constraint system (A; L; R), reference src/LCQProblem.cpp:563-608

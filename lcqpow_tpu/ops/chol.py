@@ -176,15 +176,15 @@ def _newton_schulz(M: jnp.ndarray, X: jnp.ndarray, steps: int) -> jnp.ndarray:
     when it starts < 1 — but it also *diverges* quadratically when it starts
     above 1 (numerically singular inputs: an f32 Schur complement whose
     delta-regularization rounded away produced candidates at 1e35).  The
-    guard: the f32-computed ``max|E|`` is too noisy for fine selection (its
-    floor is ~||M||*||X||*eps, often above the true residual), but genuine
-    divergence squares past 1 within a step or two — so later iterates are
-    preferred as long as their measured residual stays below 1, and the last
-    bounded iterate is returned (the seed, unchanged, if all diverge or go
-    NaN).  ``E`` is needed for the step anyway, so the guard costs one extra
-    matmul total.  Resymmetrized each step — the exact inverse is symmetric
-    and ADMM's convergence theory assumes a symmetric operator.  Pure MXU
-    work, 2 matmuls/step.  Batched over leading dims.
+    guard: the f32-computed ``max|E|`` is noisy near the floor
+    (~||M||*||X||*eps), but genuine divergence squares past 1 within a step
+    or two — so the iterate with the smallest *measured* residual wins: an
+    oscillating later iterate never overwrites a better earlier candidate
+    (ADVICE r2 #3), and the seed is returned unchanged if every step
+    diverges or goes NaN.  ``E`` is needed for the step anyway, so the guard
+    costs one extra matmul total.  Resymmetrized each step — the exact
+    inverse is symmetric and ADMM's convergence theory assumes a symmetric
+    operator.  Pure MXU work, 2 matmuls/step.  Batched over leading dims.
     """
     eye = jnp.eye(M.shape[-1], dtype=M.dtype)
 
@@ -192,14 +192,15 @@ def _newton_schulz(M: jnp.ndarray, X: jnp.ndarray, steps: int) -> jnp.ndarray:
         E = eye - M @ Xc
         return E, jnp.max(jnp.abs(E), axis=(-2, -1), keepdims=True)
 
-    E, _ = resid(X)
+    E, e_best = resid(X)
     best = X
     for _ in range(steps):
         X = X + X @ E
         X = 0.5 * (X + X.mT)
         E, e = resid(X)
-        bounded = e < 1.0  # False for NaN: keeps best
-        best = jnp.where(bounded, X, best)
+        better = e < e_best  # False for NaN: keeps best
+        best = jnp.where(better, X, best)
+        e_best = jnp.where(better, e, e_best)
     return best
 
 
@@ -207,18 +208,18 @@ def _ns_steps(dtype) -> int:
     return 2 if jnp.dtype(dtype) == jnp.float32 else 1
 
 
-def _spd_inverse_impl(M: jnp.ndarray) -> jnp.ndarray:
+def _spd_inverse_impl(M: jnp.ndarray, ns: int) -> jnp.ndarray:
     Ms, d = _jacobi_scale(M)
     if M.shape[-1] > _SWEEP_THRESHOLD:
         Xs = sweep_spd_inverse(Ms)
     else:
         Xs = block_spd_inverse(Ms)
     X = Xs / (d[..., :, None] * d[..., None, :])
-    return _newton_schulz(M, X, _ns_steps(M.dtype))
+    steps = _ns_steps(M.dtype) if ns is None else ns
+    return _newton_schulz(M, X, steps) if steps else X
 
 
-@jax.custom_batching.custom_vmap
-def _batched_spd_inverse(S: jnp.ndarray) -> jnp.ndarray:
+def _batched_impl(S: jnp.ndarray, ns) -> jnp.ndarray:
     """(B, m, m) SPD inverse: Pallas Gauss-Jordan kernel on TPU float32
     (bandwidth-bound, ~35x faster than the block recursion at the solver's
     shapes), block recursion otherwise."""
@@ -226,36 +227,45 @@ def _batched_spd_inverse(S: jnp.ndarray) -> jnp.ndarray:
     if pallas_applicable(S.shape, S.dtype) and S.ndim == 3:
         Ss, d = _jacobi_scale(S)
         X = spd_inverse_pallas(Ss) / (d[..., :, None] * d[..., None, :])
-        return _newton_schulz(S, X, _ns_steps(S.dtype))
-    return _spd_inverse_impl(S)
+        steps = _ns_steps(S.dtype) if ns is None else ns
+        return _newton_schulz(S, X, steps) if steps else X
+    return _spd_inverse_impl(S, ns)
 
 
-@_batched_spd_inverse.def_vmap
-def _batched_spd_inverse_vmap(axis_size, in_batched, S):
-    # Nested vmap: flatten all leading axes into one batch, recurse (keeps
-    # the Pallas path engaged instead of letting vmap fall onto pallas_call).
-    del axis_size, in_batched
-    flat = S.reshape((-1,) + S.shape[-2:])
-    return _batched_spd_inverse(flat).reshape(S.shape), True
+def _make_spd_inverse(ns):
+    """Build a batch-routed SPD inverse with a fixed Newton-Schulz budget.
+
+    ``ns=None`` -> dtype default (2 steps f32 / 1 step f64); ``ns=0`` -> the
+    "light" inverse: Jacobi scale + Gauss-Jordan/recursion only.  The light
+    form is for callers that wrap the result in their OWN iterative
+    refinement (the polish/corrector KKT solves) — there the NS polish is
+    redundant work on the hot path: ~5 extra (B, m, m) matmuls per inverse,
+    measured ~2x end-to-end predictor cost at the warm-up bench shapes.
+    """
+
+    @jax.custom_batching.custom_vmap
+    def f(M: jnp.ndarray) -> jnp.ndarray:
+        return _spd_inverse_impl(M, ns)
+
+    @f.def_vmap
+    def _vmap_rule(axis_size, in_batched, M):
+        # Nested vmap: flatten all leading axes into one batch (keeps the
+        # Pallas path engaged instead of letting vmap fall onto pallas_call).
+        del axis_size, in_batched
+        flat = M.reshape((-1,) + M.shape[-2:])
+        return _batched_impl(flat, ns).reshape(M.shape), True
+
+    return f
 
 
-@jax.custom_batching.custom_vmap
-def spd_inverse(M: jnp.ndarray) -> jnp.ndarray:
-    """Inverse of a symmetric positive-definite matrix.  Batched over leading
-    dims.  Unbatched / explicit-batch calls use the matmul-only block
-    recursion; under ``vmap`` (the solver's instance-batching axis) the
-    ``custom_vmap`` rule routes the whole batch to the Pallas Gauss-Jordan
-    kernel on TPU (see :mod:`lcqpow_tpu.ops.pallas_inverse`).  Sizes past
-    ``_SWEEP_THRESHOLD`` use the loop-based blocked sweep (compile size O(1)
-    in n) instead of the unrolled recursion."""
-    return _spd_inverse_impl(M)
+#: Guarded SPD inverse (Jacobi + GJ/recursion + Newton-Schulz): use for
+#: one-time factorizations whose error is NOT removed downstream (the ADMM
+#: KKT operator Minv, preconditioner Hessians).
+spd_inverse = _make_spd_inverse(None)
 
-
-@spd_inverse.def_vmap
-def _spd_inverse_vmap(axis_size, in_batched, M):
-    del axis_size, in_batched
-    flat = M.reshape((-1,) + M.shape[-2:])
-    return _batched_spd_inverse(flat).reshape(M.shape), True
+#: Light SPD inverse (no Newton-Schulz): for per-active-set Schur inverses
+#: consumed as preconditioners inside an iterative-refinement loop.
+spd_inverse_light = _make_spd_inverse(0)
 
 
 def spd_inverse_chol(M: jnp.ndarray) -> jnp.ndarray:

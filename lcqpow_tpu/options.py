@@ -69,6 +69,18 @@ class ADMMOptions:
     polish_precond_delta: Optional[float] = None
     polish_refine_iter: int = 3
     polish_active_set_rounds: int = 3  # bounded active-set refinement rounds
+    # Active-set removal rule per polish round:
+    #   "murty"  — drop ALL wrong-signed multipliers at once (fast from cold
+    #              starts: typical sets correct in 1-2 rounds);
+    #   "single" — drop one worst wrong-signed row per round, only once
+    #              primal-feasible (robust on degenerate sets, but a cold
+    #              start needing k>rounds removals never converges);
+    #   "hybrid" — drop all rows whose multiplier is *significantly*
+    #              wrong-signed (relative deadband) plus the single worst
+    #              marginal one; significance-gated mass eviction keeps the
+    #              cold-start speed of murty without its noise-driven
+    #              oscillation on degenerate sets.
+    polish_drop_rule: str = "hybrid"
     pas_max_pivots: int = 30    # pivot-round budget of the PAS engine
                                 # (lcqpow_tpu/solvers/pas.py)
 
@@ -85,6 +97,10 @@ class ADMMOptions:
         if self.max_iter <= 0:
             _warn("ADMMOptions.max_iter must be positive; using default 4000.")
             object.__setattr__(self, "max_iter", 4000)
+        if self.polish_drop_rule not in ("murty", "single", "hybrid"):
+            _warn("ADMMOptions.polish_drop_rule must be 'murty', 'single' or "
+                  "'hybrid'; using default 'hybrid'.")
+            object.__setattr__(self, "polish_drop_rule", "hybrid")
 
 
 @dataclasses.dataclass(frozen=True)

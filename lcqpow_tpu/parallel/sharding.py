@@ -81,9 +81,20 @@ def fleet_summary(sol: Solution) -> dict:
 
     n_ok, mean_iters, max_rho = _reduce(ok, sol.stats.iter_total,
                                         sol.stats.rho_opt)
-    return {
+    out = {
         "solved": int(n_ok),
         "total": int(ok.shape[0]),
         "mean_iterations": float(mean_iters),
         "max_rho": float(max_rho),
     }
+    # Mixed-pipeline stage breakdown (where did lanes certify?): stage 1 =
+    # predictor point certified as-is, 2 = corrector steps needed, 2+k =
+    # escalation round k (see Stats.certified_stage).
+    if sol.stats.certified_stage is not None:
+        import numpy as np
+        stages = np.asarray(sol.stats.certified_stage)
+        out["certified_by_stage"] = {
+            int(s): int((stages == s).sum()) for s in np.unique(stages)}
+        out["mean_corrector_steps"] = float(
+            np.mean(np.asarray(sol.stats.corrector_steps)))
+    return out

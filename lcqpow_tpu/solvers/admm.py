@@ -45,7 +45,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..constants import INFTY, ZERO
-from ..ops.chol import spd_inverse
+from ..ops.chol import spd_inverse, spd_inverse_light
 from ..options import ADMMOptions
 
 # OSQP-compatible status values.
@@ -311,14 +311,22 @@ def _polish_solve(ws: QPWorkspace, q, low, up, cfg: ADMMOptions):
 
     G = ws.As * mf[:, None]          # masked (zeroed inactive rows)
     H = G @ (ws.Pinv_d @ G.T)
-    # Regularize RELATIVE to the Schur diagonal: ||H|| reaches ~1/polish_delta
-    # when active rows hit weakly-curved directions, and an absolute delta
-    # below ||H||*eps32 rounds away entirely — S then carries f32-singular
-    # directions (dependent active rows) and the solve explodes.  The extra
-    # regularization error is absorbed by the refinement loop below.
-    reg = delta * (1.0 + jnp.diagonal(H))
+    # Regularize RELATIVE to the Schur diagonal, but scaled to the WORKING
+    # PRECISION: ||H|| reaches ~1/polish_delta when active rows hit weakly-
+    # curved directions, and an absolute delta below ||H||*eps rounds away
+    # entirely — S then carries numerically singular directions (dependent
+    # active rows) and the solve explodes.  A few*eps*diag(H) is the minimum
+    # that survives the rounding; anything larger (round 2 used
+    # delta*(1+diag(H)) ~ 1e-2*||H||) injects a bias the bounded refinement
+    # loop cannot remove in f64, where delta ~ 1e-8 but diag(H) reaches ~1e8
+    # (the circle problem's weakly-curved lifted variables — this exact
+    # failure was ADVICE r2 #1 / test_pas_circle).
+    eps_w = jnp.asarray(jnp.finfo(dtype).eps, dtype)
+    reg = jnp.maximum(delta, 8.0 * eps_w * jnp.diagonal(H))
     S = H + jnp.diag(jnp.where(act, reg, 1.0))
-    Sinv = spd_inverse(S)
+    # Light inverse (no Newton-Schulz): the refinement loop below already
+    # absorbs the inverse error, so the NS polish is redundant hot-path work.
+    Sinv = spd_inverse_light(S)
 
     nu = Sinv @ (-(b + G @ (ws.Pinv_d @ qs)))
     x_pol = -(ws.Pinv_d @ (qs + G.T @ nu))
@@ -356,32 +364,49 @@ def _polish(ws: QPWorkspace, q, y, cfg: ADMMOptions):
     up = (y > 0) & has_u & ~low
 
     x_pol, y_pol = _polish_solve(ws, q, low, up, cfg)
-    # Keep the first KKT-accepted candidate: a later single-drop round on a
+    # Keep the first KKT-accepted candidate: a later drop round on a
     # degenerate set can step off a perfectly good point, and the budget may
     # run out before the set is recovered.
     found = _kkt_ok(ws, q, x_pol, y_pol, cfg)
     x_best, y_best = x_pol, y_pol
+    rule = cfg.polish_drop_rule
     for _ in range(int(cfg.polish_active_set_rounds)):
         Ax = ws.A @ x_pol
         rp = jnp.max(jnp.abs(Ax - jnp.clip(Ax, ws.l, ws.u)))
         # Always add violated rows (keep equalities pinned).
         low = (low | (Ax < ws.l - cfg.polish_delta) | ws.eq_mask) & has_l
         up = (up | (Ax > ws.u + cfg.polish_delta)) & has_u & ~low
-        # Drop ONE wrong-signed row per round, and only once primal-feasible.
-        # Dropping all wrong-signed rows at once (Murty-style) oscillates on
-        # degenerate active sets: weakly-active rows (true multiplier ~0,
-        # solve-noise sign) get mass-evicted, the next candidate is wildly
-        # infeasible, and the set is rebuilt one row per round — measured 7+
-        # rounds on the circle problem's f32 predictor vs 3 with this rule.
-        # Single-drop is the classic active-set pivot (qpOASES' working-set
-        # update makes one exchange per iteration for the same reason).
-        feas = rp <= cfg.eps_abs * (1.0 + jnp.max(jnp.abs(Ax)))
+        # Removal, per cfg.polish_drop_rule (see options.py):
+        # wrong-signed multiplier magnitude per active inequality row.
         wrong = jnp.where(low & ~ws.eq_mask, jnp.maximum(y_pol, 0.0), 0.0) \
             + jnp.where(up & ~ws.eq_mask, jnp.maximum(-y_pol, 0.0), 0.0)
-        worst = jnp.argmax(wrong)
-        keep = ~(feas & (wrong[worst] > 0))
-        low = low.at[worst].set(low[worst] & keep)
-        up = up.at[worst].set(up[worst] & keep)
+        if rule == "murty":
+            # Drop ALL wrong-signed rows at once (classic Murty principal
+            # pivoting; the round-1 rule).  From a cold start the typical
+            # working set is corrected in 1-2 rounds — this is what keeps
+            # the warm-up fleet's polish-first acceptance at 100% with zero
+            # ADMM iterations.
+            drop = wrong > 0
+        elif rule == "single":
+            # One worst row per round, only once primal-feasible (qpOASES-
+            # style single exchange; most robust on degenerate sets, but a
+            # cold start needing more removals than rounds never converges).
+            feas = rp <= cfg.eps_abs * (1.0 + jnp.max(jnp.abs(Ax)))
+            worst = jnp.argmax(wrong)
+            drop = jnp.zeros_like(low).at[worst].set(
+                feas & (wrong[worst] > 0))
+        else:  # hybrid (default)
+            # Mass-evict only rows whose multiplier is SIGNIFICANTLY wrong-
+            # signed (clears a relative deadband — solve-noise signs on
+            # weakly-active rows stay put, preventing Murty's oscillation on
+            # degenerate sets), plus the single worst marginal row so
+            # degenerate ties still make progress.
+            y_scale = 1.0 + jnp.max(jnp.abs(y_pol))
+            significant = wrong > 1e-4 * y_scale
+            worst = jnp.argmax(wrong)
+            drop = significant.at[worst].set(wrong[worst] > 0)
+        low = low & ~drop
+        up = up & ~drop
         x_pol, y_pol = _polish_solve(ws, q, low, up, cfg)
         ok = ~found & _kkt_ok(ws, q, x_pol, y_pol, cfg)
         x_best = jnp.where(ok, x_pol, x_best)

@@ -108,8 +108,10 @@ def solve(ws: QPWorkspace, q, state: ADMMState,
         cond, body, (x0p, y0p, low0, up0, ok0, jnp.zeros((), jnp.int32)))
 
     status = jnp.where(ok, ADMM_SOLVED, ADMM_MAX_ITER).astype(jnp.int32)
-    # Fall back to the warm-start point when uncertified so the driver's
-    # failure path sees finite values.
+    # Failure-path contract: an uncertified but FINITE iterate is exposed
+    # as-is (same as admm.solve's max-iter path); the warm-start point is
+    # the fallback only when the iterate went NaN/Inf, so the driver always
+    # sees finite values.
     finite = jnp.all(jnp.isfinite(x)) & jnp.all(jnp.isfinite(y))
     x_out = jnp.where(ok | finite, x, x0)
     y_out = jnp.where(ok | finite, y, y0)

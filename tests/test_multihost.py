@@ -75,6 +75,11 @@ def test_two_process_distributed(tmp_path):
     port = "51723"
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
+    # The worker script lives in tmp_path, so sys.path[0] is the tmp dir —
+    # the repo root must come via PYTHONPATH (appended: the environment may
+    # carry required entries, e.g. the axon TPU plugin's site dir).
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
     procs = [subprocess.Popen(
         [sys.executable, str(script), str(i), "2", port],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
