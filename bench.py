@@ -126,22 +126,45 @@ def main():
         x0b = None if x0 is None else jnp.asarray(np.tile(x0, (B, 1)))
         return jax.tree.map(jnp.asarray, batch), x0b
 
-    def run_config(name, make_batch, B, opts):
-        """Compile + time one config.  Returns a dict; readbacks deferred
-        (first device->host readback switches the tunneled-TPU transport
-        into a ~33 ms/launch synchronous mode — block_until_ready only
-        waits, so the timing loop stays async)."""
+    def run_config(name, make_batch, B, opts, chunk=None):
+        """Compile + time one config.  Returns a dict; heavy readbacks
+        deferred to the end, but the timing loop includes one scalar
+        readback per rep (see below).  ``chunk``: process the fleet as
+        sequential lax.map slices of this many lanes — required for
+        medium/large per-instance shapes (circle/OCP), where a full-width
+        vmap crashes the remote compile worker (measured: batch 8 compiles,
+        batch >= 16 dies at nV=202/m=505)."""
         batch, x0 = make_batch(B)
         keys = jax.random.split(jax.random.PRNGKey(1), B)
         if x0 is None:
-            fn = jax.jit(jax.vmap(lambda d, k: base_solve(d, opts, key=k),
-                                  in_axes=(0, 0)))
+            vf = jax.vmap(lambda d, k: base_solve(d, opts, key=k),
+                          in_axes=(0, 0))
             args = (batch, keys)
         else:
-            fn = jax.jit(jax.vmap(
-                lambda d, k, a: base_solve(d, opts, x0=a, key=k),
-                in_axes=(0, 0, 0)))
+            vf = jax.vmap(lambda d, k, a: base_solve(d, opts, x0=a, key=k),
+                          in_axes=(0, 0, 0))
             args = (batch, keys, x0)
+        if chunk is not None and 0 < chunk < B:
+            # Host-side loop over ONE compiled chunk executable (a device
+            # lax.map rebuilds the full-fleet program and crashes the remote
+            # compile worker at these shapes).
+            nch = -(-B // chunk)
+            pad = nch * chunk - B
+
+            def padded(a):
+                return jnp.concatenate([a, a[:pad]], axis=0) if pad else a
+
+            pargs = jax.tree.map(padded, args)
+            vfj = jax.jit(vf)
+
+            def fn(*_):
+                outs = [vfj(*jax.tree.map(
+                    lambda a: a[i * chunk:(i + 1) * chunk], pargs))
+                    for i in range(nch)]
+                return jax.tree.map(
+                    lambda *xs: jnp.concatenate(xs, axis=0)[:B], *outs)
+        else:
+            fn = jax.jit(vf)
         t0 = time.time()
         sol = fn(*args)
         jax.block_until_ready(sol.x)
@@ -176,10 +199,11 @@ def main():
                                       Bs, opts))
     if "circle" in configs:
         results.append(run_config("circle-N100", make_circle_batch, 128,
-                                  circle_opts))
+                                  circle_opts, chunk=8))
     if "ocp" in configs:
         if os.path.isdir(REF_DATA):
-            results.append(run_config("ocp-file", make_ocp_batch, 128, opts))
+            results.append(run_config("ocp-file", make_ocp_batch, 128, opts,
+                                      chunk=8))
         else:
             log("[ocp-file] reference data mount absent; skipped")
 

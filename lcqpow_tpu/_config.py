@@ -32,6 +32,29 @@ if os.environ.get("LCQPOW_TPU_FAST_MATMUL", "0") != "1":
     jax.config.update("jax_default_matmul_precision", "highest")
 
 
+def supports_debug_print() -> bool:
+    """Whether the default backend can run ``jax.debug.print``.
+
+    Some PJRT plugins (the tunneled-TPU "axon" transport in this
+    environment) do not implement host send/recv callbacks — a jitted
+    program containing ``jax.debug.print`` then FAILS AT RUN TIME with
+    UNIMPLEMENTED.  The solver's iteration printing consults this to
+    degrade gracefully (print a one-time warning and run silent) instead
+    of crashing the solve.  Cached after first backend touch.
+    """
+    global _SUPPORTS_DEBUG_PRINT
+    if _SUPPORTS_DEBUG_PRINT is None:
+        try:
+            ver = jax.devices()[0].client.platform_version
+        except Exception:
+            ver = ""
+        _SUPPORTS_DEBUG_PRINT = "axon" not in ver
+    return _SUPPORTS_DEBUG_PRINT
+
+
+_SUPPORTS_DEBUG_PRINT = None
+
+
 def default_dtype():
     """Default floating dtype: float64 when x64 is on, else float32."""
     import jax.numpy as jnp

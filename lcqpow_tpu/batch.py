@@ -25,12 +25,18 @@ from .types import PrintLevel
 def solve_batch(data: LCQPData, options: Options = Options(),
                 x0: Optional[jnp.ndarray] = None,
                 y0: Optional[jnp.ndarray] = None,
-                key: Optional[jax.Array] = None) -> Solution:
+                key: Optional[jax.Array] = None,
+                chunk: Optional[int] = None) -> Solution:
     """Solve a batch of LCQPs (leading batch axis on every leaf of ``data``
     and on ``x0``/``y0`` if given).  Returns a batched :class:`Solution`.
 
     Iteration printing is force-disabled (interleaved per-lane output is
     meaningless); per-instance statistics are returned instead.
+
+    ``chunk``: process the fleet as sequential ``lax.map`` slices of this
+    many lanes inside one jitted program — bounds compile-time and memory
+    working set for medium/large per-instance shapes (see
+    :func:`lcqpow_tpu.mixed.solve_batch_mixed` for the measured rationale).
     """
     options = options.replace(print_level=PrintLevel.NONE)
     leaf = jax.tree.leaves(data)[0]
@@ -50,22 +56,37 @@ def solve_batch(data: LCQPData, options: Options = Options(),
     # vmapped solve runs under jit so XLA propagates any mesh sharding on the
     # inputs through the whole batched program (eager vmap would instead
     # require identical shardings on every mapped input).
-    if x0 is not None and y0 is not None:
-        vf = jax.jit(jax.vmap(
-            lambda d, k, a, b: solve(d, options, x0=a, y0=b, key=k),
-            in_axes=(0, 0, 0, 0)))
-        return vf(data, keys, x0, y0)
+    sig = []
+    args = [data, keys]
     if x0 is not None:
-        vf = jax.jit(jax.vmap(lambda d, k, a: solve(d, options, x0=a, key=k),
-                              in_axes=(0, 0, 0)))
-        return vf(data, keys, x0)
+        args.append(jnp.asarray(x0))
+        sig.append("x0")
     if y0 is not None:
-        vf = jax.jit(jax.vmap(lambda d, k, b: solve(d, options, y0=b, key=k),
-                              in_axes=(0, 0, 0)))
-        return vf(data, keys, y0)
-    vf = jax.jit(jax.vmap(lambda d, k: solve(d, options, key=k),
-                          in_axes=(0, 0)))
-    return vf(data, keys)
+        args.append(jnp.asarray(y0))
+        sig.append("y0")
+
+    def single(d, k, *rest):
+        kwz = dict(zip(sig, rest))
+        return solve(d, options, x0=kwz.get("x0"), y0=kwz.get("y0"), key=k)
+
+    vf = jax.vmap(single, in_axes=(0,) * (2 + len(sig)))
+    if chunk is not None and 0 < chunk < batch:
+        # Host-side loop over one compiled chunk executable (see
+        # mixed.solve_batch_mixed for why not lax.map).
+        nch = -(-batch // chunk)
+        pad = nch * chunk - batch
+
+        def padded(a):
+            return jnp.concatenate([a, a[:pad]], axis=0) if pad else a
+
+        pargs = jax.tree.map(padded, tuple(args))
+        vfj = jax.jit(vf)
+        outs = [vfj(*jax.tree.map(lambda a: a[i * chunk:(i + 1) * chunk],
+                                  pargs))
+                for i in range(nch)]
+        return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0)[:batch],
+                            *outs)
+    return jax.jit(vf)(*args)
 
 
 def solve_many(problems, options: Options = Options(),

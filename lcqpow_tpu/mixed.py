@@ -110,14 +110,12 @@ def _predictor_options(options: Options, m_rows: Optional[int] = None
             a.polish_delta if a.polish_precond_delta is None
             else a.polish_precond_delta, 1e-3),
         max_iter=min(a.max_iter, 500),
-        # f32 ADMM stalls where f64 limps through: rounding noise in the
-        # fixed-point iteration acts like a residual floor, and a mis-scaled
-        # rho leaves the dual residual orbiting above tolerance forever
-        # (measured on the jitted circle predictor: rd oscillates ~0.3 at
-        # every rho).  The OSQP-style rho adaptation re-balances the
-        # residuals and was the single lever that flipped that workload
-        # from SUBPROBLEM_SOLVER_ERROR to the exact f64 solution.
-        adaptive_rho=True,
+        # adaptive_rho deliberately NOT forced on here (round 2 did, as the
+        # then-fix for circle-class stalls): with the size-aware eps floors
+        # above the stalls are gone, and the f32 refactorization can
+        # DESTABILIZE the iteration — measured on circle N=20, adaptive on
+        # diverges to 1e28 iterates while adaptive off converges to the
+        # reference solution.  It remains available as the user opt-in.
     )
     return options.replace(
         stationarity_tolerance=max(options.stationarity_tolerance,
@@ -125,6 +123,10 @@ def _predictor_options(options: Options, m_rows: Optional[int] = None
         complementarity_tolerance=max(options.complementarity_tolerance,
                                       compl_floor),
         print_level=PrintLevel.NONE,
+        # Near the f32 noise floor an occasional inner-QP budget exhaustion
+        # is expected; continue the homotopy from the best iterate instead
+        # of aborting (the corrector restores accuracy; see options.py).
+        tolerate_inner_maxiter=True,
         admm=admm_cfg,
     )
 
@@ -189,6 +191,9 @@ def correct_and_certify(data: LCQPData, options: Options,
     from .solvers.admm import _ruiz_equilibrate
     Dsc, Esc, csc, Qs, As_sc = _ruiz_equilibrate(Qhi, Ahi, g_df.hi)
     Pinv = spd_inverse(Qs + f32(_DELTA_P) * jnp.eye(n, dtype=f32))
+    # Cached full Schur product: every masked active-set Schur complement is
+    # an elementwise mask of this (see admm.QPWorkspace.Hfull).
+    Hfull = As_sc @ (Pinv @ As_sc.T)
 
     def Qx_df(x: DF) -> DF:
         return df32.split_matvec(Qhi, Qlo, x)
@@ -218,6 +223,22 @@ def correct_and_certify(data: LCQPData, options: Options,
                      df32.df_dot(gphi_df, x)),
             phi_c_df)
         return stat_norm, phi.hi + phi.lo
+
+    def primal_violation(x: DF):
+        """Worst constraint violation over the stacked system (df32).
+
+        The reference never checks this because qpOASES/OSQP guarantee
+        (near-)feasible subproblem solutions; our corrector's masked KKT
+        solves only pin the rows it believes active, so a wrong active set
+        can produce a stationary-looking but INFEASIBLE point — without this
+        term the certificate would bless it (observed on circle N=20: a
+        certified point off the unit circle)."""
+        Axv = Ax_df(x)
+        axv = Axv.hi + Axv.lo
+        below = jnp.where(has_l, (l_df.hi + l_df.lo) - axv, f32(0.0))
+        above = jnp.where(has_u, axv - (u_df.hi + u_df.lo), f32(0.0))
+        viol = jnp.maximum(jnp.max(below), jnp.max(above))
+        return jnp.maximum(viol, f32(0.0)), jnp.max(jnp.abs(axv))
 
     def kkt_solve_pass(x: DF, y: DF, gk: DF):
         """One active-set KKT solve of the linearized QP via f32 Schur +
@@ -251,7 +272,7 @@ def correct_and_certify(data: LCQPData, options: Options,
         # Regularization is RELATIVE to the Schur diagonal — see
         # admm._polish_solve for why an absolute delta rounds away in f32.
         G32 = As_sc * mf[:, None]
-        H = G32 @ (Pinv @ G32.T)
+        H = Hfull * (mf[:, None] * mf[None, :])
         eps32 = f32(jnp.finfo(f32).eps)
         reg = jnp.maximum(delta, 8.0 * eps32 * jnp.diagonal(H))
         S = H + jnp.diag(jnp.where(act, reg, f32(1.0)))
@@ -351,9 +372,13 @@ def correct_and_certify(data: LCQPData, options: Options,
     def body(c):
         x, y, rho32, upd, k, done, conv, pen_fail, steps = c
         stat_norm, phi_val = stat_phi(x, y, rho32, upd)
-        conv = (stat_norm < stat_tol) & (phi_val < compl_tol)
+        viol, ax_scale = primal_violation(x)
+        feas = viol <= stat_tol * (1.0 + ax_scale)
+        conv = (stat_norm < stat_tol) & (phi_val < compl_tol) & feas
         # Penalty update when stationary but not complementary (:528-533).
-        pen = (stat_norm < stat_tol) & ~conv
+        # Requires feasibility: pumping rho cannot repair an infeasible
+        # iterate — more KKT passes (active-set re-seeds) can.
+        pen = (stat_norm < stat_tol) & feas & ~conv
         rho32 = jnp.where(pen, rho32 * beta, rho32)
         upd = upd | pen
         pen_fail = rho32 > f32(options.max_penalty_parameter)
@@ -494,7 +519,8 @@ def solve_batch_mixed(data: LCQPData, options: Options = Options(),
                       y0: Optional[jnp.ndarray] = None,
                       key: Optional[jax.Array] = None,
                       n_corrector_iters: int = 25,
-                      escalate: int = 1) -> Solution:
+                      escalate: int = 1,
+                      chunk: Optional[int] = None) -> Solution:
     """Batched mixed-precision solve (leading batch axis on every leaf of
     ``data`` and on ``x0``/``y0`` when given).  ``x0`` is essential for the
     circle-class problems, which the reference always starts from a feasible
@@ -506,7 +532,16 @@ def solve_batch_mixed(data: LCQPData, options: Options = Options(),
     the failing lanes into a power-of-two bucket (bounds recompilation),
     re-solves with a doubled corrector budget and a fresh perturbation key,
     and scatters the newly certified lanes back.  Set ``escalate=0`` for a
-    single fully-jitted pass (no host sync)."""
+    single fully-jitted pass (no host sync).
+
+    ``chunk``: process the fleet as sequential ``lax.map`` slices of this
+    many lanes inside ONE jitted program.  For medium/large per-instance
+    problems (circle N=100: nV=202, m=505) a full-width vmap multiplies the
+    compile-time working set by the batch — measured on the tunneled TPU,
+    batch 8 compiles (~520 s) but batch >= 16 crashes the remote compile
+    worker — while a chunked program costs one chunk's compile and a
+    sequential grid.  Use ~8 for circle/OCP-class shapes; leave None for
+    small instances (warm-up class), where full-width vmap is fastest."""
     options = options.replace(print_level=PrintLevel.NONE)
     leaf = jax.tree.leaves(data)[0]
     batch = leaf.shape[0]
@@ -514,39 +549,58 @@ def solve_batch_mixed(data: LCQPData, options: Options = Options(),
         key = jax.random.PRNGKey(options.seed)
     keys = jax.random.split(key, batch)
     kw = dict(n_corrector_iters=n_corrector_iters)
-    if x0 is not None and y0 is not None:
-        vf = jax.jit(jax.vmap(
-            lambda d, k, a, b: solve_mixed(d, options, x0=a, y0=b, key=k,
-                                           **kw), in_axes=(0, 0, 0, 0)))
-        sol = vf(data, keys, x0, y0)
-    elif x0 is not None:
-        vf = jax.jit(jax.vmap(
-            lambda d, k, a: solve_mixed(d, options, x0=a, key=k, **kw),
-            in_axes=(0, 0, 0)))
-        sol = vf(data, keys, x0)
-    elif y0 is not None:
-        vf = jax.jit(jax.vmap(
-            lambda d, k, b: solve_mixed(d, options, y0=b, key=k, **kw),
-            in_axes=(0, 0, 0)))
-        sol = vf(data, keys, y0)
+
+    # Normalized argument tuple: (data, keys[, x0][, y0]), all batch-leading.
+    sig = []
+    args = [data, keys]
+    if x0 is not None:
+        args.append(jnp.asarray(x0))
+        sig.append("x0")
+    if y0 is not None:
+        args.append(jnp.asarray(y0))
+        sig.append("y0")
+
+    def single(d, k, *rest):
+        kwz = dict(zip(sig, rest))
+        return solve_mixed(d, options, x0=kwz.get("x0"), y0=kwz.get("y0"),
+                           key=k, **kw)
+
+    vf = jax.vmap(single, in_axes=(0,) * (2 + len(sig)))
+
+    if chunk is not None and 0 < chunk < batch:
+        # HOST-side loop over one compiled chunk executable (not lax.map:
+        # wrapping the chunk in a device loop rebuilds the full-fleet
+        # program and crashes the remote compile worker at exactly the
+        # shapes chunking exists for).  Dispatches are async; results
+        # concatenate on device.
+        nch = -(-batch // chunk)
+        pad = nch * chunk - batch
+
+        def padded(a):
+            return jnp.concatenate([a, a[:pad]], axis=0) if pad else a
+
+        pargs = jax.tree.map(padded, tuple(args))
+        vfj = jax.jit(vf)
+        outs = [vfj(*jax.tree.map(lambda a: a[i * chunk:(i + 1) * chunk],
+                                  pargs))
+                for i in range(nch)]
+        sol = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0)[:batch],
+                           *outs)
     else:
-        vf = jax.jit(jax.vmap(
-            lambda d, k: solve_mixed(d, options, key=k, **kw),
-            in_axes=(0, 0)))
-        sol = vf(data, keys)
+        sol = jax.jit(vf)(*args)
     # Escalation runs for EVERY x0/y0 presence combination (round-2 bug:
     # the x0/y0 branches returned early, so exactly the circle/OCP fleets —
     # which require x0 — silently never got the uncertified-lane retry,
     # VERDICT r2 Weak #4).
     if escalate > 0:
         sol = _escalate_failed(sol, data, options, x0, y0, key,
-                               n_corrector_iters, escalate)
+                               n_corrector_iters, escalate, chunk=chunk)
     return sol
 
 
 def _escalate_failed(sol: Solution, data: LCQPData, options: Options,
                      x0, y0, key, n_corrector_iters: int,
-                     rounds: int) -> Solution:
+                     rounds: int, chunk: Optional[int] = None) -> Solution:
     """Re-solve uncertified lanes with escalating corrector budgets and
     fresh keys; scatter certified retries back into ``sol``."""
     import numpy as np
@@ -566,7 +620,8 @@ def _escalate_failed(sol: Solution, data: LCQPData, options: Options,
         rkey = jax.random.fold_in(key, r + 1)
         retry = solve_batch_mixed(
             sub, options, x0=sx0, y0=sy0, key=rkey,
-            n_corrector_iters=n_corrector_iters * (2 << r), escalate=0)
+            n_corrector_iters=n_corrector_iters * (2 << r), escalate=0,
+            chunk=chunk)
         rret = np.asarray(retry.ret)[:bad.size]
         fixed_mask = rret == int(ReturnValue.SUCCESSFUL_RETURN)
         fixed = bad[fixed_mask]

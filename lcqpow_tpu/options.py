@@ -143,6 +143,17 @@ class Options:
     inner_solver: str = "admm"
     admm: ADMMOptions = dataclasses.field(default_factory=ADMMOptions)
 
+    # TPU-native extension: when True, an inner-QP MAX-ITER exit (OSQP flag
+    # -2) does NOT abort the homotopy — the loop continues from the solver's
+    # best iterate and the convergence tests keep governing termination.
+    # Infeasibility certificates (-3/-4) still abort like the reference's
+    # SUBPROBLEM_SOLVER_ERROR path (src/LCQProblem.cpp:548-551).  The mixed
+    # pipeline's f32 predictor enables this: near the f32 residual noise
+    # floor an occasional budget exhaustion is expected and harmless (the
+    # df32 corrector restores accuracy), while aborting throws away an
+    # almost-converged homotopy.  Default False = reference semantics.
+    tolerate_inner_maxiter: bool = False
+
     # TPU-only: PRNG seed for the step perturbation.  The reference calls
     # srand(time(NULL)) per solve (src/LCQProblem.cpp:1016) and is therefore
     # nondeterministic; we use an explicit, vmappable key instead.

@@ -49,6 +49,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from . import _config
 from .data import LCQPData
 from .options import Options
 from .solvers import admm, pas
@@ -217,10 +218,21 @@ def solve(data: LCQPData, options: Options = Options(),
     else:
         gk0 = rho0 * (data.C @ xk0) + g_tilde0
     inner_solve = _INNER_ENGINES[options.inner_solver]
+
+    def qp_failed(status):
+        # Reference semantics: any non-positive subsolver exit is fatal
+        # (src/LCQProblem.cpp:548-551, exit flag <= 0).  With
+        # tolerate_inner_maxiter only infeasibility certificates abort;
+        # a MAX-ITER exit continues from the best iterate (see options.py).
+        if options.tolerate_inner_maxiter:
+            return (status == admm.ADMM_PRIMAL_INFEASIBLE) \
+                | (status == admm.ADMM_DUAL_INFEASIBLE) | (status == 0)
+        return status <= 0
+
     res0 = inner_solve(ws, gk0, st0, cfg)
     yk_full0 = -res0.y
     pk0 = res0.x - xk0
-    init_failed = res0.status <= 0
+    init_failed = qp_failed(res0.status)
 
     stat_tol = options.stationarity_tolerance
     compl_tol = options.complementarity_tolerance
@@ -285,7 +297,17 @@ def solve(data: LCQPData, options: Options = Options(),
         # prints every pass with a header every 10 inner iterations; OUTER
         # prints only rows where innerIter == 0 (the pass right after a
         # penalty update) with a header every 10 outer iterations.
-        if options.print_level == PrintLevel.INNER_LOOP_ITERATES:
+        # Backends without host-callback support (the tunneled-TPU
+        # transport) would crash AT RUN TIME on jax.debug.print; degrade to
+        # silent there (warning emitted once at trace time).
+        print_level = options.print_level
+        if print_level > PrintLevel.NONE and not _config.supports_debug_print():
+            import warnings
+            warnings.warn(
+                "iteration printing disabled: this backend does not support "
+                "host callbacks (jax.debug.print)", stacklevel=2)
+            print_level = PrintLevel.NONE
+        if print_level == PrintLevel.INNER_LOOP_ITERATES:
             _hline = ("------+-------+------------+------------+------------"
                       "+------------+------------+-------")
             lax.cond(
@@ -300,7 +322,7 @@ def solve(data: LCQPData, options: Options = Options(),
                 "{:10.3e} | {:10.3e} | {:6d}",
                 c.outer, c.inner, jnp.max(jnp.abs(statk)), phi_k, c.rho,
                 jnp.max(jnp.abs(c.pk)), c.alphak, c.qp_iter_k)
-        elif options.print_level == PrintLevel.OUTER_LOOP_ITERATES:
+        elif print_level == PrintLevel.OUTER_LOOP_ITERATES:
             _hline = ("------+------------+------------+------------"
                       "+------------")
             is_outer_row = c.inner == 0
@@ -411,10 +433,13 @@ def solve(data: LCQPData, options: Options = Options(),
             # updateLinearization #2 (:545) — reflects any rho change above.
             gk = rho * (data.C @ xk) + g_tilde
             res = inner_solve(ws, gk, st, cfg)
-            xnew = res.x
-            yk_new = -res.y
+            # Never step onto a non-finite inner result (belt to the ADMM
+            # engine's own breakdown guard): hold position instead.
+            pt_ok = jnp.all(jnp.isfinite(res.x)) & jnp.all(jnp.isfinite(res.y))
+            xnew = jnp.where(pt_ok, res.x, xk)
+            yk_new = jnp.where(pt_ok, -res.y, yk)
             pk = xnew - xk
-            qp_fail = res.status <= 0
+            qp_fail = qp_failed(res.status)
             # perturbStep (:554-555, :1353-1362).  The reference perturbs by
             # +/-EPS (f64 machine eps); the dtype-relative generalization
             # keeps the escape-from-saddle mechanism alive in float32, where

@@ -86,6 +86,11 @@ class QPWorkspace:
     # Cached delta-regularized Hessian inverse for the polish step
     # (P is homotopy-invariant, so this is also one-time).
     Pinv_d: jnp.ndarray    # (n, n)
+    # Cached full polish Schur product As @ Pinv_d @ As' (scaled space).
+    # Any masked active-set Schur complement is an ELEMENTWISE mask of this
+    # (G = As*m  =>  G Pinv G' = (m m') .* Hfull), so the per-polish m x m
+    # mat-mat pair disappears from the hot path.
+    Hfull: jnp.ndarray     # (m, m)
     # Explicit inverse of M = Ps + sigma*I + As' diag(rho) As.
     # An inverse (not a factorization) is deliberate TPU design: the hot ADMM
     # step becomes a single MXU matmul instead of two sequential triangular
@@ -211,11 +216,13 @@ def factorize(P, A, l, u, cfg: ADMMOptions, q_proto=None) -> QPWorkspace:
     if dP is None:
         dP = cfg.polish_delta
     Pinv_d = spd_inverse(Ps + dP * jnp.eye(n, dtype=dtype))
+    Hfull = As @ (Pinv_d @ As.T)
 
     return QPWorkspace(P=P, A=A, l=l, u=u, D=D, E=E, c=c,
                        Ps=Ps, As=As, ls=ls, us=us,
                        rho_vec=rho, rho_inv=1.0 / rho, eq_mask=eq,
-                       loose_mask=loose, Pinv_d=Pinv_d, Minv=Minv)
+                       loose_mask=loose, Pinv_d=Pinv_d, Hfull=Hfull,
+                       Minv=Minv)
 
 
 def init_state(ws: QPWorkspace, x0=None, y0=None) -> ADMMState:
@@ -310,7 +317,9 @@ def _polish_solve(ws: QPWorkspace, q, low, up, cfg: ADMMOptions):
     b = jnp.clip(b, -INFTY, INFTY) * mf
 
     G = ws.As * mf[:, None]          # masked (zeroed inactive rows)
-    H = G @ (ws.Pinv_d @ G.T)
+    # Masked Schur complement as an elementwise mask of the cached full
+    # product (see QPWorkspace.Hfull) — no mat-mat on the hot path.
+    H = ws.Hfull * (mf[:, None] * mf[None, :])
     # Regularize RELATIVE to the Schur diagonal, but scaled to the WORKING
     # PRECISION: ||H|| reaches ~1/polish_delta when active rows hit weakly-
     # curved directions, and an absolute delta below ||H||*eps rounds away
@@ -509,9 +518,21 @@ def solve(ws: QPWorkspace, q, state: ADMMState, cfg: ADMMOptions) -> ADMMResult:
     def body(carry):
         (xs, zs, ys, xp, yp, status, it, x_out, y_out,
          rho_vec, rho_inv, Minv) = carry
+        xs0, zs0, ys0 = xs, zs, ys
         xs, zs, ys, _, _, _ = lax.fori_loop(
             0, K, admm_iter, (xs, zs, ys, rho_vec, rho_inv, Minv))
         it = it + K
+
+        # Numerical-breakdown guard: a chunk that went NaN/Inf (observed in
+        # f32 with an extreme adaptive-rho refactorization) must not poison
+        # the state — revert to the pre-chunk iterate and exit as MAX_ITER
+        # so the caller still sees the last FINITE iterate.
+        chunk_ok = jnp.all(jnp.isfinite(xs)) & jnp.all(jnp.isfinite(zs)) \
+            & jnp.all(jnp.isfinite(ys))
+        xs = jnp.where(chunk_ok, xs, xs0)
+        zs = jnp.where(chunk_ok, zs, zs0)
+        ys = jnp.where(chunk_ok, ys, ys0)
+        it = jnp.where(chunk_ok, it, cfg.max_iter).astype(jnp.int32)
 
         x_un = ws.D * xs
         y_un = ws.E * ys / ws.c
@@ -562,7 +583,13 @@ def solve(ws: QPWorkspace, q, state: ADMMState, cfg: ADMMOptions) -> ADMMResult:
                 n = ws.Ps.shape[-1]
                 M = ws.Ps + sigma * jnp.eye(n, dtype=dtype) \
                     + (ws.As * rho_new[:, None]).T @ ws.As
-                return rho_new, 1.0 / rho_new, spd_inverse(M)
+                Minv_new = spd_inverse(M)
+                # Keep the old operator if the refactorization broke down
+                # (extreme rho can push M past f32 conditioning).
+                ok = jnp.all(jnp.isfinite(Minv_new))
+                return (jnp.where(ok, rho_new, rho_vec),
+                        jnp.where(ok, 1.0 / rho_new, rho_inv),
+                        jnp.where(ok, Minv_new, Minv))
 
             rho_vec, rho_inv, Minv = lax.cond(
                 trigger, refactor, lambda _: (rho_vec, rho_inv, Minv), None)

@@ -72,3 +72,19 @@ def test_solve_many_heterogeneous():
     assert np.all(np.asarray(sol.ret) == 0)
     x = np.sort(np.asarray(sol.x[0]))[-2:]
     np.testing.assert_allclose(x, [0., 1.], atol=1e-7)
+
+
+def test_solve_batch_chunked_matches_full():
+    import numpy as np
+
+    import lcqpow_tpu as lt
+    from lcqpow_tpu.problems import random_lcqp
+
+    problems = [random_lcqp(s, nV=5, nC=1, nComp=2) for s in range(6)]
+    batch = lt.stack_lcqps(problems)
+    opts = lt.Options(print_level=lt.PrintLevel.NONE)
+    full = lt.solve_batch(batch, opts)
+    chunked = lt.solve_batch(batch, opts, chunk=4)  # pad-and-trim path
+    assert (np.asarray(chunked.ret) == np.asarray(full.ret)).all()
+    np.testing.assert_allclose(np.asarray(chunked.x), np.asarray(full.x),
+                               atol=0, rtol=0)

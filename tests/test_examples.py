@@ -102,3 +102,17 @@ def test_random_lcqp_family():
         x = np.asarray(sol.x)
         phi = (np.asarray(data.L) @ x) @ (np.asarray(data.R) @ x)
         assert abs(phi) < 1e-8
+
+
+def test_example_scripts_run():
+    """Run every example script in-process (the reference's test.sh model:
+    examples double as integration tests, ``test.sh:14-21``)."""
+    import os
+    import runpy
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for name in ["warm_up", "warm_up_binary", "warm_up_w_A", "warm_up_osqp",
+                 "warm_up_sparse", "test_max_penalty",
+                 "optimize_on_circle_store_steps"]:
+        runpy.run_path(os.path.join(root, "examples", name + ".py"),
+                       run_name="__main__")

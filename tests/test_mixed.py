@@ -64,3 +64,88 @@ def test_mixed_failure_propagates():
     sol = lt.solve_mixed(warm_up(), OPTS.replace(max_penalty_parameter=1.0),
                          x0=np.array([1., 1.]))
     assert int(sol.ret) == lt.ReturnValue.MAX_PENALTY_REACHED
+
+
+def test_mixed_circle_n20_matches_f64():
+    """Medium-scale twin of the bench circle config (round-2 gap: the bench
+    certified 0/128 on a path no test exercised).  Oracle: the f64 solver on
+    the same problem (``/root/reference/examples/OptimizeOnCircle.cpp``)."""
+    from lcqpow_tpu.problems import optimize_on_circle
+
+    data, x0 = optimize_on_circle(20)
+    opts = OPTS.replace(stationarity_tolerance=1e-2, max_iterations=200,
+                        qp_solver=lt.QPSolver.OSQP_SPARSE)
+    smx = lt.solve_mixed(data, opts, x0=x0)
+    assert int(smx.ret) == lt.ReturnValue.SUCCESSFUL_RETURN
+    s64 = lt.solve(data, opts, x0=x0)
+    assert int(s64.ret) == lt.ReturnValue.SUCCESSFUL_RETURN
+    np.testing.assert_allclose(np.asarray(smx.x[:2]), np.asarray(s64.x[:2]),
+                               atol=1e-5)
+
+
+def test_mixed_circle_n100_reference_solution():
+    """Full-size reference workload (nV=202, nC=101, nComp=100): the mixed
+    pipeline must land on one of the two documented stationary points
+    (``OptimizeOnCircle.cpp:144-145``)."""
+    from lcqpow_tpu.problems import optimize_on_circle
+
+    data, x0 = optimize_on_circle(100)
+    opts = OPTS.replace(stationarity_tolerance=1e-2, max_iterations=200,
+                        qp_solver=lt.QPSolver.OSQP_SPARSE)
+    sol = lt.solve_mixed(data, opts, x0=x0)
+    assert int(sol.ret) == lt.ReturnValue.SUCCESSFUL_RETURN
+    x2 = np.asarray(sol.x[:2])
+    ok_global = np.allclose(x2, [0.1811, -0.9835], atol=2e-3)
+    ok_local = np.allclose(x2, [0.9764, -0.2183], atol=2e-3)
+    assert ok_global or ok_local, x2
+
+
+def test_mixed_ocp_file_certified():
+    """The reference's file-loaded OCP instance (nV=151, nC=50, nComp=100;
+    ``solve_lcqp_from_file.cpp:59-160``) through the mixed pipeline."""
+    import os
+
+    import pytest
+
+    ref = "/root/reference/examples/example_data"
+    if not os.path.isdir(ref):
+        pytest.skip("reference data mount absent")
+    from lcqpow_tpu import io
+
+    data = io.load_lcqp_from_files(ref)
+    x0 = io.load_x0_from_files(ref)
+    sol = lt.solve_mixed(data, OPTS.replace(max_iterations=200), x0=x0)
+    assert int(sol.ret) == lt.ReturnValue.SUCCESSFUL_RETURN
+    s64 = lt.solve(data, OPTS.replace(max_iterations=200), x0=x0)
+    np.testing.assert_allclose(np.asarray(sol.x), np.asarray(s64.x),
+                               atol=1e-6)
+
+
+def test_mixed_batch_x0_escalation_honored():
+    """Batches WITH an initial guess get the uncertified-lane retry too
+    (round-2 bug: the x0/y0 branches returned before escalation, silently
+    ignoring the ``escalate`` argument for circle/OCP-style fleets)."""
+    problems = [random_lcqp(s, nV=6, nC=2, nComp=2) for s in range(8)]
+    batch = lt.stack_lcqps(problems)
+    x0 = np.full((8, 6), 0.1)
+    # A tiny corrector budget leaves stragglers for escalation to rescue.
+    sol = lt.solve_batch_mixed(batch, OPTS, x0=x0, n_corrector_iters=2,
+                               escalate=2)
+    ok = np.asarray(sol.ret) == 0
+    assert ok.all(), np.asarray(sol.ret)
+    stages = np.asarray(sol.stats.certified_stage)
+    assert stages.min() >= 1  # every lane carries a stage attribution
+
+
+def test_mixed_batch_chunked_matches_full():
+    """`chunk=` (sequential lax.map slices) must be bit-identical to the
+    full-width vmap — it exists because medium-shape full-width vmaps
+    overwhelm the TPU compile worker (circle/OCP classes)."""
+    problems = [random_lcqp(s, nV=6, nC=2, nComp=2) for s in range(6)]
+    batch = lt.stack_lcqps(problems)
+    full = lt.solve_batch_mixed(batch, OPTS)
+    # chunk=4 does not divide 6: exercises the pad-and-trim path too.
+    chunked = lt.solve_batch_mixed(batch, OPTS, chunk=4)
+    assert (np.asarray(chunked.ret) == np.asarray(full.ret)).all()
+    np.testing.assert_allclose(np.asarray(chunked.x), np.asarray(full.x),
+                               atol=0, rtol=0)
