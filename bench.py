@@ -145,24 +145,10 @@ def main():
                           in_axes=(0, 0, 0))
             args = (batch, keys, x0)
         if chunk is not None and 0 < chunk < B:
-            # Host-side loop over ONE compiled chunk executable (a device
-            # lax.map rebuilds the full-fleet program and crashes the remote
-            # compile worker at these shapes).
-            nch = -(-B // chunk)
-            pad = nch * chunk - B
-
-            def padded(a):
-                return jnp.concatenate([a, a[:pad]], axis=0) if pad else a
-
-            pargs = jax.tree.map(padded, args)
-            vfj = jax.jit(vf)
+            from lcqpow_tpu.batch import chunked_call
 
             def fn(*_):
-                outs = [vfj(*jax.tree.map(
-                    lambda a: a[i * chunk:(i + 1) * chunk], pargs))
-                    for i in range(nch)]
-                return jax.tree.map(
-                    lambda *xs: jnp.concatenate(xs, axis=0)[:B], *outs)
+                return chunked_call(vf, args, B, chunk)
         else:
             fn = jax.jit(vf)
         t0 = time.time()

@@ -41,6 +41,11 @@ def supports_debug_print() -> bool:
     UNIMPLEMENTED.  The solver's iteration printing consults this to
     degrade gracefully (print a one-time warning and run silent) instead
     of crashing the solve.  Cached after first backend touch.
+
+    Limitation: probes only the DEFAULT backend and caches the verdict; a
+    process mixing backends (e.g. default CPU with arrays explicitly placed
+    on the tunneled TPU) can be misjudged.  Force the behavior by setting
+    ``lcqpow_tpu._config._SUPPORTS_DEBUG_PRINT`` if that ever matters.
     """
     global _SUPPORTS_DEBUG_PRINT
     if _SUPPORTS_DEBUG_PRINT is None:

@@ -22,6 +22,35 @@ from .solver import Solution, solve
 from .types import PrintLevel
 
 
+def chunked_call(vf, args, batch: int, chunk: int):
+    """Host-side loop over ONE compiled chunk executable.
+
+    ``vf`` is an (unjitted) width-``chunk``-agnostic vmapped callable;
+    ``args`` a tuple of batch-leading pytrees.  The batch is padded to a
+    chunk multiple by repeating leading lanes, dispatched chunk by chunk
+    (async), and the results concatenated on device and trimmed.
+
+    Deliberately NOT a device-side ``lax.map``: wrapping the chunk in a
+    device loop rebuilds the full-fleet program, which crashes the remote
+    TPU compile worker at exactly the medium/large shapes chunking exists
+    for (measured: circle N=100 — m=505 — compiles at width 8, dies at 16).
+    Shared by :func:`solve_batch`, :func:`mixed.solve_batch_mixed` and
+    ``bench.py``.
+    """
+    nch = -(-batch // chunk)
+    pad = nch * chunk - batch
+
+    def padded(a):
+        return jnp.concatenate([a, a[:pad]], axis=0) if pad else a
+
+    pargs = jax.tree.map(padded, tuple(args))
+    vfj = jax.jit(vf)
+    outs = [vfj(*jax.tree.map(lambda a: a[i * chunk:(i + 1) * chunk], pargs))
+            for i in range(nch)]
+    return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0)[:batch],
+                        *outs)
+
+
 def solve_batch(data: LCQPData, options: Options = Options(),
                 x0: Optional[jnp.ndarray] = None,
                 y0: Optional[jnp.ndarray] = None,
@@ -33,10 +62,10 @@ def solve_batch(data: LCQPData, options: Options = Options(),
     Iteration printing is force-disabled (interleaved per-lane output is
     meaningless); per-instance statistics are returned instead.
 
-    ``chunk``: process the fleet as sequential ``lax.map`` slices of this
-    many lanes inside one jitted program — bounds compile-time and memory
-    working set for medium/large per-instance shapes (see
-    :func:`lcqpow_tpu.mixed.solve_batch_mixed` for the measured rationale).
+    ``chunk``: process the fleet as a host-side loop over one compiled
+    chunk-width executable — bounds compile-time and memory working set for
+    medium/large per-instance shapes (see :func:`chunked_call` for the
+    measured rationale).
     """
     options = options.replace(print_level=PrintLevel.NONE)
     leaf = jax.tree.leaves(data)[0]
@@ -71,21 +100,7 @@ def solve_batch(data: LCQPData, options: Options = Options(),
 
     vf = jax.vmap(single, in_axes=(0,) * (2 + len(sig)))
     if chunk is not None and 0 < chunk < batch:
-        # Host-side loop over one compiled chunk executable (see
-        # mixed.solve_batch_mixed for why not lax.map).
-        nch = -(-batch // chunk)
-        pad = nch * chunk - batch
-
-        def padded(a):
-            return jnp.concatenate([a, a[:pad]], axis=0) if pad else a
-
-        pargs = jax.tree.map(padded, tuple(args))
-        vfj = jax.jit(vf)
-        outs = [vfj(*jax.tree.map(lambda a: a[i * chunk:(i + 1) * chunk],
-                                  pargs))
-                for i in range(nch)]
-        return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0)[:batch],
-                            *outs)
+        return chunked_call(vf, tuple(args), batch, chunk)
     return jax.jit(vf)(*args)
 
 

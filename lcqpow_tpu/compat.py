@@ -118,19 +118,22 @@ class LCQProblem:
                              ) -> ReturnValue:
         """File load (reference ``loadLCQP`` file overload,
         ``src/LCQProblem.cpp:147-387``)."""
+        # Parse ONCE to host NumPy, compute the box flag there, then move
+        # the pytree to device — probing device arrays later would force
+        # the degrading device->host sync, and parsing twice doubles IO.
         try:
-            self._data = load_lcqp_from_files(directory)
+            host = load_lcqp_from_files(directory, as_numpy=True)
         except (OSError, ValueError):
             return ReturnValue.UNABLE_TO_READ_FILE
-        self.nV = self._data.nV
-        self.nC = self._data.nC
-        self.nComp = self._data.nComp
-        # Box-presence flag from a host-side (NumPy) reload — probing the
-        # loaded device arrays would force the degrading device->host sync.
-        host = load_lcqp_from_files(directory, as_numpy=True)
         from .constants import INFTY
         self._has_box = bool(np.any(np.asarray(host.lb) > -INFTY)
                              or np.any(np.asarray(host.ub) < INFTY))
+        import jax
+        import jax.numpy as jnp
+        self._data = jax.tree.map(jnp.asarray, host)
+        self.nV = self._data.nV
+        self.nC = self._data.nC
+        self.nComp = self._data.nComp
         self._setup_ok = True
         self._x0 = None if x0 is None else np.asarray(x0, np.float64).reshape(-1)
         self._y0 = None if y0 is None else np.asarray(y0, np.float64).reshape(-1)

@@ -373,7 +373,14 @@ def correct_and_certify(data: LCQPData, options: Options,
         x, y, rho32, upd, k, done, conv, pen_fail, steps = c
         stat_norm, phi_val = stat_phi(x, y, rho32, upd)
         viol, ax_scale = primal_violation(x)
-        feas = viol <= stat_tol * (1.0 + ax_scale)
+        # Feasibility threshold is SOLVER-accuracy scale (the reference's
+        # subsolvers return feasible-to-machine-precision points), NOT the
+        # user's stationarity tolerance: circle-class runs set stat_tol
+        # 1e-2, which would re-admit exactly the infeasible-but-stationary
+        # points this gate exists to reject.  1e-9 sits far above the
+        # corrector's active-row pinning error (~1e-12 * scale in df32) and
+        # far below any real constraint violation.
+        feas = viol <= 1e-9 * (1.0 + ax_scale)
         conv = (stat_norm < stat_tol) & (phi_val < compl_tol) & feas
         # Penalty update when stationary but not complementary (:528-533).
         # Requires feasibility: pumping rho cannot repair an infeasible
@@ -534,14 +541,15 @@ def solve_batch_mixed(data: LCQPData, options: Options = Options(),
     and scatters the newly certified lanes back.  Set ``escalate=0`` for a
     single fully-jitted pass (no host sync).
 
-    ``chunk``: process the fleet as sequential ``lax.map`` slices of this
-    many lanes inside ONE jitted program.  For medium/large per-instance
-    problems (circle N=100: nV=202, m=505) a full-width vmap multiplies the
-    compile-time working set by the batch — measured on the tunneled TPU,
-    batch 8 compiles (~520 s) but batch >= 16 crashes the remote compile
-    worker — while a chunked program costs one chunk's compile and a
-    sequential grid.  Use ~8 for circle/OCP-class shapes; leave None for
-    small instances (warm-up class), where full-width vmap is fastest."""
+    ``chunk``: process the fleet as a host-side loop over one compiled
+    chunk-width executable (:func:`lcqpow_tpu.batch.chunked_call`).  For
+    medium/large per-instance problems (circle N=100: nV=202, m=505) a
+    full-width vmap multiplies the compile-time working set by the batch —
+    measured on the tunneled TPU, batch 8 compiles (~520 s) but batch >= 16
+    crashes the remote compile worker.  ``None`` (default) auto-chunks
+    medium/large shapes by a calibrated size heuristic and keeps small
+    instances (warm-up class) full-width; pass ``0`` to force full width,
+    or an explicit size."""
     options = options.replace(print_level=PrintLevel.NONE)
     leaf = jax.tree.leaves(data)[0]
     batch = leaf.shape[0]
@@ -549,6 +557,23 @@ def solve_batch_mixed(data: LCQPData, options: Options = Options(),
         key = jax.random.PRNGKey(options.seed)
     keys = jax.random.split(key, batch)
     kw = dict(n_corrector_iters=n_corrector_iters)
+
+    if chunk is None:
+        # Auto-chunk guard: full-width vmaps of medium/large instances
+        # crash the TPU remote compile worker (measured boundary: circle
+        # N=100 — nV=202, m=505 — compiles at batch 8, dies at batch 16).
+        # Calibrated as batch * m^3 (compile working set scales with the
+        # per-instance program size times the vectorized width): the 16k
+        # warm-up fleet (m=14) stays un-chunked, circle-class auto-chunks
+        # to 8.  Explicit ``chunk`` (any value, or 0 to force full width)
+        # overrides.
+        m = data.nC + 2 * data.nComp + data.nV
+        budget = 2.0e9
+        if batch * m ** 3 > budget:
+            # Cap at 8 — the only width validated against the compile-worker
+            # crash boundary (batch 8 compiles, batch 16 dies at m=505); the
+            # budget formula shrinks it further for even larger instances.
+            chunk = max(1, min(8, int(budget / m ** 3)))
 
     # Normalized argument tuple: (data, keys[, x0][, y0]), all batch-leading.
     sig = []
@@ -568,24 +593,8 @@ def solve_batch_mixed(data: LCQPData, options: Options = Options(),
     vf = jax.vmap(single, in_axes=(0,) * (2 + len(sig)))
 
     if chunk is not None and 0 < chunk < batch:
-        # HOST-side loop over one compiled chunk executable (not lax.map:
-        # wrapping the chunk in a device loop rebuilds the full-fleet
-        # program and crashes the remote compile worker at exactly the
-        # shapes chunking exists for).  Dispatches are async; results
-        # concatenate on device.
-        nch = -(-batch // chunk)
-        pad = nch * chunk - batch
-
-        def padded(a):
-            return jnp.concatenate([a, a[:pad]], axis=0) if pad else a
-
-        pargs = jax.tree.map(padded, tuple(args))
-        vfj = jax.jit(vf)
-        outs = [vfj(*jax.tree.map(lambda a: a[i * chunk:(i + 1) * chunk],
-                                  pargs))
-                for i in range(nch)]
-        sol = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0)[:batch],
-                           *outs)
+        from .batch import chunked_call
+        sol = chunked_call(vf, tuple(args), batch, chunk)
     else:
         sol = jax.jit(vf)(*args)
     # Escalation runs for EVERY x0/y0 presence combination (round-2 bug:

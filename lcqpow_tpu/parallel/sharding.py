@@ -89,12 +89,22 @@ def fleet_summary(sol: Solution) -> dict:
     }
     # Mixed-pipeline stage breakdown (where did lanes certify?): stage 1 =
     # predictor point certified as-is, 2 = corrector steps needed, 2+k =
-    # escalation round k (see Stats.certified_stage).
+    # escalation round k (see Stats.certified_stage).  Reduced by a jitted
+    # collective like the scalars above — per-lane np.asarray gathers would
+    # fail on multi-host fleets whose lanes live on non-addressable devices.
     if sol.stats.certified_stage is not None:
-        import numpy as np
-        stages = np.asarray(sol.stats.certified_stage)
+        _N_STAGES = 16  # stages are tiny ints: 0..2+escalation rounds
+
+        @jax.jit
+        def _stage_reduce(stage, steps):
+            counts = jnp.sum(
+                stage[:, None] == jnp.arange(_N_STAGES)[None, :], axis=0)
+            return counts, jnp.mean(steps.astype(jnp.float32))
+
+        counts, mean_steps = _stage_reduce(sol.stats.certified_stage,
+                                           sol.stats.corrector_steps)
+        counts = [int(c) for c in counts]
         out["certified_by_stage"] = {
-            int(s): int((stages == s).sum()) for s in np.unique(stages)}
-        out["mean_corrector_steps"] = float(
-            np.mean(np.asarray(sol.stats.corrector_steps)))
+            s: c for s, c in enumerate(counts) if c}
+        out["mean_corrector_steps"] = float(mean_steps)
     return out

@@ -434,10 +434,14 @@ def solve(data: LCQPData, options: Options = Options(),
             gk = rho * (data.C @ xk) + g_tilde
             res = inner_solve(ws, gk, st, cfg)
             # Never step onto a non-finite inner result (belt to the ADMM
-            # engine's own breakdown guard): hold position instead.
+            # engine's own breakdown guard): hold position instead — and
+            # keep the PREVIOUS warm-start state too, or the poisoned state
+            # would seed every later inner solve with NaN.
             pt_ok = jnp.all(jnp.isfinite(res.x)) & jnp.all(jnp.isfinite(res.y))
             xnew = jnp.where(pt_ok, res.x, xk)
             yk_new = jnp.where(pt_ok, -res.y, yk)
+            st_next = jax.tree.map(lambda a, b: jnp.where(pt_ok, a, b),
+                                   res.state, st)
             pk = xnew - xk
             qp_fail = qp_failed(res.status)
             # perturbStep (:554-555, :1353-1362).  The reference perturbs by
@@ -454,7 +458,7 @@ def solve(data: LCQPData, options: Options = Options(),
             alphak = jnp.where((qk_val > 0) & (lk_val < 0),
                                jnp.minimum(-lk_val / qk_val, 1.0),
                                1.0).astype(dtype)
-            return (xk, yk_new, pk, alphak, res.state, key,
+            return (xk, yk_new, pk, alphak, st_next, key,
                     sub_iters + res.iterations, res.status,
                     res.iterations, qp_fail)
 

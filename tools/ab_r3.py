@@ -81,17 +81,20 @@ def main():
     opts = lt.Options(print_level=lt.PrintLevel.NONE, max_iterations=200)
     p0 = _predictor_options(opts)
 
+    # NB: adaptive_rho is OFF in the predictor defaults since round 3 —
+    # "adapt-on" is the opt-in variant now.
     variants = {
         "current": p0,
-        "adapt-off": p0.replace(
-            admm=dataclasses.replace(p0.admm, adaptive_rho=False)),
+        "adapt-on": p0.replace(
+            admm=dataclasses.replace(p0.admm, adaptive_rho=True)),
         "precond-1e-5": p0.replace(
             admm=dataclasses.replace(p0.admm, polish_precond_delta=1e-5)),
         "rounds-1": p0.replace(
             admm=dataclasses.replace(p0.admm, polish_active_set_rounds=1)),
-        "adapt-off-rounds-1": p0.replace(
-            admm=dataclasses.replace(p0.admm, adaptive_rho=False,
-                                     polish_active_set_rounds=1)),
+        "drop-murty": p0.replace(
+            admm=dataclasses.replace(p0.admm, polish_drop_rule="murty")),
+        "drop-single": p0.replace(
+            admm=dataclasses.replace(p0.admm, polish_drop_rule="single")),
         "check-50": p0.replace(
             admm=dataclasses.replace(p0.admm, check_interval=50)),
     }
