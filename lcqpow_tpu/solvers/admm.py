@@ -518,21 +518,41 @@ def solve(ws: QPWorkspace, q, state: ADMMState, cfg: ADMMOptions) -> ADMMResult:
     def body(carry):
         (xs, zs, ys, xp, yp, status, it, x_out, y_out,
          rho_vec, rho_inv, Minv) = carry
-        xs0, zs0, ys0 = xs, zs, ys
         xs, zs, ys, _, _, _ = lax.fori_loop(
             0, K, admm_iter, (xs, zs, ys, rho_vec, rho_inv, Minv))
         it = it + K
 
-        # Numerical-breakdown guard: a chunk that went NaN/Inf (observed in
-        # f32 with an extreme adaptive-rho refactorization) must not poison
-        # the state — revert to the pre-chunk iterate and exit as MAX_ITER
-        # so the caller still sees the last FINITE iterate.
-        chunk_ok = jnp.all(jnp.isfinite(xs)) & jnp.all(jnp.isfinite(zs)) \
+        # Numerical-breakdown guard with RESTART: in f32 the fixed-point
+        # iteration can diverge (finite exponential blow-up, ~1.1-1.2x/iter;
+        # rounding noise tips the contraction at a mis-scaled rho) or go
+        # NaN/Inf outright.  In Ruiz-scaled space legitimate iterates are
+        # O(1), so magnitude is a valid divergence oracle.  On breakdown:
+        # reset the iterate (cold restart) and make the operator 10x
+        # stiffer — the measured cure for the diverging circle-class lanes
+        # (fixed rho 1.0 converges exactly where 0.1 explodes) — then keep
+        # iterating within the remaining budget.
+        finite_ok = jnp.all(jnp.isfinite(xs)) & jnp.all(jnp.isfinite(zs)) \
             & jnp.all(jnp.isfinite(ys))
-        xs = jnp.where(chunk_ok, xs, xs0)
-        zs = jnp.where(chunk_ok, zs, zs0)
-        ys = jnp.where(chunk_ok, ys, ys0)
-        it = jnp.where(chunk_ok, it, cfg.max_iter).astype(jnp.int32)
+        exploded = finite_ok & (jnp.max(jnp.abs(xs)) > 1e6)
+        bad = ~finite_ok | exploded
+        xs = jnp.where(bad, jnp.zeros_like(xs), xs)
+        zs = jnp.where(bad, jnp.zeros_like(zs), zs)
+        ys = jnp.where(bad, jnp.zeros_like(ys), ys)
+
+        def stiffen(_):
+            rho_new = jnp.clip(rho_vec * 10.0, _RHO_MIN, _RHO_MAX)
+            rho_new = jnp.where(ws.loose_mask, rho_vec, rho_new)
+            nn = ws.Ps.shape[-1]
+            M = ws.Ps + sigma * jnp.eye(nn, dtype=dtype) \
+                + (ws.As * rho_new[:, None]).T @ ws.As
+            Minv_new = spd_inverse(M)
+            ok = jnp.all(jnp.isfinite(Minv_new))
+            return (jnp.where(ok, rho_new, rho_vec),
+                    jnp.where(ok, 1.0 / rho_new, rho_inv),
+                    jnp.where(ok, Minv_new, Minv))
+
+        rho_vec, rho_inv, Minv = lax.cond(
+            bad, stiffen, lambda _: (rho_vec, rho_inv, Minv), None)
 
         x_un = ws.D * xs
         y_un = ws.E * ys / ws.c
@@ -542,7 +562,10 @@ def solve(ws: QPWorkspace, q, state: ADMMState, cfg: ADMMOptions) -> ADMMResult:
         eps_d = cfg.eps_abs + cfg.eps_rel * dsc
         solved_admm = (r_prim <= eps_p) & (r_dual <= eps_d)
 
+        # Infeasibility deltas are meaningless on a restarted iterate.
         prim_inf, dual_inf = _infeasibility(ws, qs, xs - xp, ys - yp, cfg)
+        prim_inf = prim_inf & ~bad
+        dual_inf = dual_inf & ~bad
 
         if cfg.polish:
             x_po, y_po = _polish(ws, q, y_un, cfg)
