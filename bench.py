@@ -15,6 +15,8 @@ Additional configs (written to ``BENCH_DETAIL.json`` + stderr):
   * ocp — the reference's file-loaded OCP instance (nV=151, nC=50,
     nComp=100; ``examples/solve_lcqp_from_file.cpp:59-160``) batched over
     perturbed gradients.  Skipped when the reference data mount is absent.
+  * pas — the parametric-active-set inner engine (the qpOASES-parity tier,
+    ``lcqpow_tpu/solvers/pas.py``) on the warm-up fleet at batch 256.
 
 Every counted solve is certified in double-word-f32 against the
 reference-default stationarity/complementarity tolerances
@@ -23,30 +25,54 @@ pipeline (f32 homotopy predictor + compensated-f32 corrector,
 lcqpow_tpu/mixed.py); the circle config uses the reference example's own
 looser stationarity tolerance (1e-2, ``OptimizeOnCircle.cpp:44``).
 
+Process architecture (round-4 hardening): each config runs in its OWN
+subprocess and persists its result to ``BENCH_PARTIAL/<name>.json`` before
+exiting.  Round 3's single-process bench lost every measured number when
+the circle config crashed the tunneled TPU worker (``BENCH_r03.json``:
+rc=1, parsed=null despite three finished warm-up configs); with per-config
+isolation a crash costs exactly one row and the parent always prints a
+parsable headline with rc=0.
+
 Prints exactly ONE JSON line to stdout; diagnostics go to stderr.
 
 Environment knobs:
   LCQPOW_BENCH_BATCH    headline batch size (default 4096)
   LCQPOW_BENCH_REPS     timed repetitions (default 3)
   LCQPOW_BENCH_MODE     "mixed" (default) | "f64" (pure-f64 reference path)
-  LCQPOW_BENCH_CONFIGS  comma list (default "warmup,scaling,circle,ocp")
+  LCQPOW_BENCH_CONFIGS  comma list (default "warmup,scaling,circle,ocp,pas")
+  LCQPOW_BENCH_DEADLINE global wall-clock budget in seconds (default 5400);
+                        remaining configs are skipped (not failed) when the
+                        budget would be overrun.
 """
 
 import dataclasses
 import json
 import os
+import subprocess
 import sys
 import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 REF_DATA = "/root/reference/examples/example_data"
+PARTIAL_DIR = os.path.join(REPO, "BENCH_PARTIAL")
+
+# Per-config subprocess timeouts (seconds).  Sized for a COLD persistent
+# cache (circle-class compiles were measured at up to ~520 s on the
+# tunneled worker); warm-cache runs finish in a small fraction of these.
+_TIMEOUTS = {
+    "warmup": 1800,
+    "scaling": 2400,
+    "circle": 3000,
+    "ocp": 3000,
+    "pas": 1800,
+}
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def main():
+def _setup_jax():
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                           os.path.join(REPO, ".jax_cache"))
     os.makedirs(os.environ["JAX_COMPILATION_CACHE_DIR"], exist_ok=True)
@@ -56,6 +82,15 @@ def main():
     jax.config.update("jax_compilation_cache_dir",
                       os.environ["JAX_COMPILATION_CACHE_DIR"])
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    return jax
+
+
+# --------------------------------------------------------------------------
+# Child: run one config group and persist its rows.
+# --------------------------------------------------------------------------
+
+def run_group(group: str):
+    jax = _setup_jax()
     import jax.numpy as jnp
     import numpy as np
 
@@ -66,11 +101,8 @@ def main():
     B = int(os.environ.get("LCQPOW_BENCH_BATCH", "4096"))
     reps = int(os.environ.get("LCQPOW_BENCH_REPS", "3"))
     mode = os.environ.get("LCQPOW_BENCH_MODE", "mixed")
-    configs = os.environ.get("LCQPOW_BENCH_CONFIGS",
-                             "warmup,scaling,circle,ocp").split(",")
 
-    log(f"devices: {jax.devices()}")
-    log(f"x64: {jax.config.jax_enable_x64}, headline batch: {B}, mode: {mode}")
+    log(f"[{group}] devices: {jax.devices()}")
 
     if mode == "mixed":
         from lcqpow_tpu.mixed import solve_mixed as base_solve
@@ -126,22 +158,22 @@ def main():
         x0b = None if x0 is None else jnp.asarray(np.tile(x0, (B, 1)))
         return jax.tree.map(jnp.asarray, batch), x0b
 
-    def run_config(name, make_batch, B, opts, chunk=None):
-        """Compile + time one config.  Returns a dict; heavy readbacks
-        deferred to the end, but the timing loop includes one scalar
-        readback per rep (see below).  ``chunk``: process the fleet as
-        sequential lax.map slices of this many lanes — required for
-        medium/large per-instance shapes (circle/OCP), where a full-width
-        vmap crashes the remote compile worker (measured: batch 8 compiles,
-        batch >= 16 dies at nV=202/m=505)."""
+    def run_config(name, make_batch, B, opts, chunk=None, solve_fn=None):
+        """Compile + time one config, then verify and return a result row.
+        ``chunk``: process the fleet as a host-side loop over one compiled
+        chunk-width executable — required for medium/large per-instance
+        shapes (circle/OCP), where a full-width vmap crashes the remote
+        compile worker (measured: batch 8 compiles, batch >= 16 dies at
+        nV=202/m=505)."""
+        solve_one = solve_fn or base_solve
         batch, x0 = make_batch(B)
         keys = jax.random.split(jax.random.PRNGKey(1), B)
         if x0 is None:
-            vf = jax.vmap(lambda d, k: base_solve(d, opts, key=k),
+            vf = jax.vmap(lambda d, k: solve_one(d, opts, key=k),
                           in_axes=(0, 0))
             args = (batch, keys)
         else:
-            vf = jax.vmap(lambda d, k, a: base_solve(d, opts, x0=a, key=k),
+            vf = jax.vmap(lambda d, k, a: solve_one(d, opts, x0=a, key=k),
                           in_axes=(0, 0, 0))
             args = (batch, keys, x0)
         if chunk is not None and 0 < chunk < B:
@@ -169,49 +201,23 @@ def main():
             times.append(time.time() - t0)
         t = min(times)
         log(f"[{name}] times: {[f'{x:.3f}' for x in times]}; best {t:.3f}s")
-        return dict(name=name, batch=B, t_best=t, times=times,
-                    t_compile=t_compile, _sol=sol, _data=batch)
+        r = dict(name=name, batch=B, t_best=t, times=times,
+                 t_compile=t_compile)
 
-    opts = lt.Options(print_level=lt.PrintLevel.NONE, max_iterations=200)
-    circle_opts = opts.replace(stationarity_tolerance=1e-2,
-                               qp_solver=lt.QPSolver.OSQP_SPARSE)
-
-    results = []
-    if "warmup" in configs:
-        results.append(run_config(f"warmup-{B}", make_warmup_batch, B, opts))
-    if "scaling" in configs:
-        for Bs in (2 * B, 4 * B):
-            results.append(run_config(f"warmup-{Bs}", make_warmup_batch,
-                                      Bs, opts))
-    if "circle" in configs:
-        results.append(run_config("circle-N100", make_circle_batch, 128,
-                                  circle_opts, chunk=8))
-    if "ocp" in configs:
-        if os.path.isdir(REF_DATA):
-            results.append(run_config("ocp-file", make_ocp_batch, 128, opts,
-                                      chunk=8))
-        else:
-            log("[ocp-file] reference data mount absent; skipped")
-
-    # ---- verification readbacks (after ALL timing) --------------------------
-    detail = []
-    headline = None
-    for r in results:
-        sol, batch = r.pop("_sol"), r.pop("_data")
+        # ---- verification readbacks --------------------------------------
         ok = np.asarray(sol.ret) == 0
         n_ok = int(ok.sum())
-        Bc = r["batch"]
-        thr = n_ok / r["t_best"]
+        thr = n_ok / t
         # Host-side audit of the complementarity gap on a sample of lanes.
         xs = np.asarray(sol.x, dtype=np.float64)
         max_phi = 0.0
-        for i in range(0, Bc, max(1, Bc // 32)):
+        for i in range(0, B, max(1, B // 32)):
             L = np.asarray(batch.L[i], np.float64)
             Rm = np.asarray(batch.R[i], np.float64)
             max_phi = max(max_phi, abs((L @ xs[i]) @ (Rm @ xs[i])))
         sub_iters = np.asarray(sol.stats.subproblem_iter)
         r.update(certified=n_ok, throughput=round(thr, 1),
-                 per_lane_us=round(1e6 * r["t_best"] / Bc, 2),
+                 per_lane_us=round(1e6 * t / B, 2),
                  max_phi_sample=float(f"{max_phi:.3e}"),
                  mean_iters=float(np.mean(np.asarray(sol.stats.iter_total))),
                  # Efficiency counters (VERDICT r2 Missing #3): accumulated
@@ -233,6 +239,8 @@ def main():
         # ~ 2mn^2), per homotopy pass one polish bundle ((1+rounds) KKT
         # solves: Schur build mn^2 + m^2 n, m x m inverse 2m^3, refinement
         # 3*(m^2+mn+n^2)) and per accumulated ADMM iteration 2mn + n^2.
+        # This is a structural hand model (a regression canary), NOT a
+        # measured-utilization/MFU claim.
         n = int(batch.Q.shape[-1])
         m = int(batch.A.shape[-2] + 2 * batch.L.shape[-2] + n)
         rounds = 4  # 1 + polish_active_set_rounds
@@ -243,34 +251,129 @@ def main():
               + sub_iters.astype(np.float64) * (2 * m * n + n * n))
         total_flops = float(np.sum(fl))
         r.update(model_gflops=round(total_flops / 1e9, 2),
-                 achieved_gflops_per_s=round(total_flops / r["t_best"] / 1e9,
-                                             1))
-        log(f"[{r['name']}] certified {n_ok}/{Bc} -> {thr:.0f} solves/s "
+                 achieved_gflops_per_s=round(total_flops / t / 1e9, 1))
+        log(f"[{name}] certified {n_ok}/{B} -> {thr:.0f} solves/s "
             f"({r['per_lane_us']} us/lane); max|phi| sample {max_phi:.2e}; "
             f"mean sub-iters {r['mean_subproblem_iters']:.1f}; "
             f"~{r['achieved_gflops_per_s']} GFLOP/s")
         # Loud regression canary (VERDICT r2 next-round #6): on warm-up-class
         # configs the polish-first path must keep ADMM iterations near zero.
-        if r["name"].startswith("warmup") and r["mean_subproblem_iters"] > 10:
+        if name.startswith("warmup") and r["mean_subproblem_iters"] > 10:
             r["regression_alert"] = "polish-first not accepting: mean " \
                 f"subproblem iters {r['mean_subproblem_iters']:.1f} > 10"
-            log(f"*** REGRESSION ALERT [{r['name']}]: {r['regression_alert']}")
-        detail.append(r)
-        if r["name"] == f"warmup-{B}":
-            headline = r
+            log(f"*** REGRESSION ALERT [{name}]: {r['regression_alert']}")
+        return r
+
+    opts = lt.Options(print_level=lt.PrintLevel.NONE, max_iterations=200)
+    circle_opts = opts.replace(stationarity_tolerance=1e-2,
+                               qp_solver=lt.QPSolver.OSQP_SPARSE)
+
+    rows = []
+    if group == "warmup":
+        rows.append(run_config(f"warmup-{B}", make_warmup_batch, B, opts))
+    elif group == "scaling":
+        for Bs in (2 * B, 4 * B):
+            rows.append(run_config(f"warmup-{Bs}", make_warmup_batch,
+                                   Bs, opts))
+    elif group == "circle":
+        rows.append(run_config("circle-N100", make_circle_batch, 128,
+                               circle_opts, chunk=8))
+    elif group == "ocp":
+        if os.path.isdir(REF_DATA):
+            rows.append(run_config("ocp-file", make_ocp_batch, 128, opts,
+                                   chunk=8))
+        else:
+            log("[ocp-file] reference data mount absent; skipped")
+    elif group == "pas":
+        # The qpOASES-parity tier on hardware (VERDICT r3 next-round #6):
+        # f64 reference path with the PAS inner engine, warm-up fleet.
+        from lcqpow_tpu.solver import solve as solve_f64
+        pas_opts = opts.replace(inner_solver="pas")
+        rows.append(run_config("pas-warmup-256", make_warmup_batch, 256,
+                               pas_opts, solve_fn=solve_f64))
+    else:
+        raise SystemExit(f"unknown config group: {group}")
+
+    os.makedirs(PARTIAL_DIR, exist_ok=True)
+    out = os.path.join(PARTIAL_DIR, f"{group}.json")
+    with open(out, "w") as f:
+        json.dump(rows, f, indent=1)
+    log(f"[{group}] wrote {out}")
+
+
+# --------------------------------------------------------------------------
+# Parent: orchestrate config subprocesses, aggregate, print the headline.
+# --------------------------------------------------------------------------
+
+def main():
+    B = int(os.environ.get("LCQPOW_BENCH_BATCH", "4096"))
+    groups = os.environ.get("LCQPOW_BENCH_CONFIGS",
+                            "warmup,scaling,circle,ocp,pas").split(",")
+    deadline = time.time() + float(
+        os.environ.get("LCQPOW_BENCH_DEADLINE", "5400"))
+
+    os.makedirs(PARTIAL_DIR, exist_ok=True)
+    detail = []
+    for group in groups:
+        group = group.strip()
+        if not group:
+            continue
+        out = os.path.join(PARTIAL_DIR, f"{group}.json")
+        if os.path.exists(out):
+            os.remove(out)
+        budget = _TIMEOUTS.get(group, 1800)
+        remain = deadline - time.time()
+        if remain < min(120, budget):
+            log(f"[{group}] skipped: global deadline "
+                f"({remain:.0f}s left < {min(120, budget)}s)")
+            detail.append(dict(name=group, skipped="global deadline"))
+            continue
+        t0 = time.time()
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--config", group],
+                timeout=min(budget, remain), cwd=REPO)
+            rc = proc.returncode
+        except subprocess.TimeoutExpired:
+            rc = -1
+            log(f"[{group}] TIMED OUT after {time.time() - t0:.0f}s")
+        if os.path.exists(out):
+            with open(out) as f:
+                detail.extend(json.load(f))
+            if rc != 0:
+                log(f"[{group}] child exited rc={rc} after writing results")
+        else:
+            reason = ("timeout" if rc == -1 else
+                      f"child crashed (rc={rc}) before writing results")
+            log(f"[{group}] FAILED: {reason}")
+            detail.append(dict(name=group, failed=reason,
+                               elapsed_s=round(time.time() - t0, 1)))
 
     with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1)
 
-    if headline is None:  # headline config not run; fall back to first
-        headline = detail[0]
+    headline = None
+    for r in detail:
+        if r.get("name") == f"warmup-{B}" and "throughput" in r:
+            headline = r
+            break
+    if headline is None:  # headline config failed; fall back to any result
+        for r in detail:
+            if "throughput" in r:
+                headline = r
+                break
+    value = headline["throughput"] if headline else 0.0
     print(json.dumps({
         "metric": "warmup_class_solves_per_sec_per_chip",
-        "value": headline["throughput"],
+        "value": value,
         "unit": "solves/s",
-        "vs_baseline": round(headline["throughput"] / 10000.0, 3),
+        "vs_baseline": round(value / 10000.0, 3),
     }))
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--config":
+        run_group(sys.argv[2])
+    else:
+        main()

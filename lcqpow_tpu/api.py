@@ -60,6 +60,67 @@ _PARAM_MAP = {
 }
 
 
+# Disposition of every OSQP settings field the reference mex accepts
+# (interfaces/matlab/LCQPow.cpp:488-565, 22 fields) on the TPU-native ADMM
+# engine.  "Mapped" fields go to the named ADMMOptions field; "ignored"
+# fields are structurally meaningless here (each with the reason) and are
+# accepted silently for drop-in parity.  See README.md for the same table
+# with the reference file:line citations.
+_OSQP_FIELD_MAP = {
+    # OSQP field        -> ADMMOptions field
+    "rho": "rho",
+    "sigma": "sigma",
+    "alpha": "alpha",
+    "eps_abs": "eps_abs",
+    "eps_rel": "eps_rel",
+    "eps_prim_inf": "eps_prim_inf",
+    "eps_dual_inf": "eps_dual_inf",
+    "max_iter": "max_iter",
+    "polish": "polish",
+    "polish_refine_iter": "polish_refine_iter",
+    "delta": "polish_delta",             # OSQP's polish regularization
+    "adaptive_rho": "adaptive_rho",
+    "adaptive_rho_tolerance": "adaptive_rho_tolerance",
+    "check_termination": "check_interval",
+}
+_OSQP_FIELDS_IGNORED = {
+    "adaptive_rho_interval":  # we adapt at the check_termination cadence
+        "rho adaptation runs at the check_interval cadence",
+    "adaptive_rho_fraction":  # OSQP's is wall-clock-based
+        "time-based adaptation has no meaning inside a lockstep jitted batch",
+    "scaled_termination":
+        "termination is always tested on unscaled residuals",
+    "scaling":
+        "Ruiz equilibration is always on (fixed sweep count)",
+    "linsys_solver":
+        "single matmul-only TPU KKT operator; no alternative backends",
+    "time_limit":
+        "no wall-clock branching inside compiled code",
+    "verbose":
+        "per-lane inner-iteration printing is meaningless in a batch",
+    "warm_start":
+        "warm starting is structural: ADMM state always carries across "
+        "homotopy steps",
+}
+
+# The reference mex's qpOASES_options fields (LCQPow.cpp:347-482).  The
+# qpOASES engine itself has no TPU counterpart — its role (machine-precision
+# active-set solves with hotstarts) is played by the polish-first ADMM and
+# the PAS engine — so ALL of these are accepted-but-ignored; unknown keys
+# still fail loudly.
+_QPOASES_FIELDS_IGNORED = frozenset({
+    "printLevel", "enableRamping", "enableFarBounds", "enableFlippingBounds",
+    "enableRegularisation", "enableFullLITests", "enableNZCTests",
+    "enableDriftCorrection", "enableCholeskyRefactorisation",
+    "enableEqualities", "terminationTolerance", "boundTolerance",
+    "boundRelaxation", "epsNum", "epsDen", "maxPrimalJump", "maxDualJump",
+    "initialRamping", "finalRamping", "initialFarBounds", "growFarBounds",
+    "initialStatusBounds", "epsFlipping", "numRegularisationSteps",
+    "epsRegularisation", "numRefinementSteps", "epsIterRef", "epsLITests",
+    "epsNZCTests",
+})
+
+
 def options_from_params(params: Optional[dict]) -> Tuple[Options,
                                                          Optional[np.ndarray],
                                                          Optional[np.ndarray]]:
@@ -69,9 +130,11 @@ def options_from_params(params: Optional[dict]) -> Tuple[Options,
     inside ``params`` too (``LCQPow.cpp:807-853``).  Unknown keys raise
     ``KeyError`` (the mex warns and ignores; failing loudly is safer for a
     Python API).  The nested ``OSQP_options`` dict configures the inner ADMM
-    engine (role of the reference's OSQPSettings passthrough); the reference's
-    ``qpOASES_options`` has no TPU counterpart and is accepted-but-ignored
-    with the keys it only uses for printing.
+    engine (role of the reference's OSQPSettings passthrough) with the
+    complete per-field disposition in :data:`_OSQP_FIELD_MAP` /
+    :data:`_OSQP_FIELDS_IGNORED`; the reference's ``qpOASES_options`` has no
+    TPU counterpart — all its 29 mex-accepted fields are accepted-but-ignored
+    (:data:`_QPOASES_FIELDS_IGNORED`), unknown keys raise.
     """
     params = dict(params or {})
     x0 = params.pop("x0", None)
@@ -84,11 +147,13 @@ def options_from_params(params: Optional[dict]) -> Tuple[Options,
     admm_kw = {}
     osqp_opts = params.pop("OSQP_options", None) or {}
     for k, v in osqp_opts.items():
-        if k in ("rho", "sigma", "alpha", "eps_abs", "eps_rel",
-                 "eps_prim_inf", "eps_dual_inf", "max_iter", "polish",
-                 "polish_refine_iter"):
-            admm_kw[k] = v
-    params.pop("qpOASES_options", None)  # no TPU counterpart
+        if k in _OSQP_FIELD_MAP:
+            admm_kw[_OSQP_FIELD_MAP[k]] = v
+        elif k not in _OSQP_FIELDS_IGNORED:
+            raise KeyError(f"unknown OSQP_options field: {k!r}")
+    for k in params.pop("qpOASES_options", None) or {}:
+        if k not in _QPOASES_FIELDS_IGNORED:
+            raise KeyError(f"unknown qpOASES_options field: {k!r}")
 
     kw = {}
     for k, v in params.items():

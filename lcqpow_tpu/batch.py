@@ -22,13 +22,13 @@ from .solver import Solution, solve
 from .types import PrintLevel
 
 
-def chunked_call(vf, args, batch: int, chunk: int):
+def chunked_call(vf, args, batch: int, chunk: int, sync: bool = True):
     """Host-side loop over ONE compiled chunk executable.
 
     ``vf`` is an (unjitted) width-``chunk``-agnostic vmapped callable;
     ``args`` a tuple of batch-leading pytrees.  The batch is padded to a
-    chunk multiple by repeating leading lanes, dispatched chunk by chunk
-    (async), and the results concatenated on device and trimmed.
+    chunk multiple by repeating leading lanes, dispatched chunk by chunk,
+    and the results concatenated on device and trimmed.
 
     Deliberately NOT a device-side ``lax.map``: wrapping the chunk in a
     device loop rebuilds the full-fleet program, which crashes the remote
@@ -36,7 +36,19 @@ def chunked_call(vf, args, batch: int, chunk: int):
     for (measured: circle N=100 — m=505 — compiles at width 8, dies at 16).
     Shared by :func:`solve_batch`, :func:`mixed.solve_batch_mixed` and
     ``bench.py``.
+
+    ``sync`` (default on): a scalar device->host readback after each chunk
+    dispatch, bounding the in-flight execution queue to depth 1.  On the
+    tunneled-TPU transport an unbounded async queue of medium-shape chunk
+    executions crashed the remote worker (round-3 bench: 16 queued circle
+    chunks died at the first ``block_until_ready``; one chunk standalone
+    ran fine).  Costs one ~30 ms transport round trip per chunk — noise
+    next to a medium-shape chunk's execution time.  Values are unchanged;
+    the results still differ from a full-width vmap only by f32 summation
+    order (tests assert agreement to tight tolerances, not bitwise).
     """
+    import numpy as np
+
     nch = -(-batch // chunk)
     pad = nch * chunk - batch
 
@@ -45,8 +57,12 @@ def chunked_call(vf, args, batch: int, chunk: int):
 
     pargs = jax.tree.map(padded, tuple(args))
     vfj = jax.jit(vf)
-    outs = [vfj(*jax.tree.map(lambda a: a[i * chunk:(i + 1) * chunk], pargs))
-            for i in range(nch)]
+    outs = []
+    for i in range(nch):
+        o = vfj(*jax.tree.map(lambda a: a[i * chunk:(i + 1) * chunk], pargs))
+        if sync:
+            _ = np.asarray(jax.tree.leaves(o)[0].ravel()[0])
+        outs.append(o)
     return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0)[:batch],
                         *outs)
 

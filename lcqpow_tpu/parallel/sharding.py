@@ -93,18 +93,25 @@ def fleet_summary(sol: Solution) -> dict:
     # collective like the scalars above — per-lane np.asarray gathers would
     # fail on multi-host fleets whose lanes live on non-addressable devices.
     if sol.stats.certified_stage is not None:
-        _N_STAGES = 16  # stages are tiny ints: 0..2+escalation rounds
+        # Stages are tiny ints (0..2+escalation rounds), but the escalation
+        # round count is caller-controlled and so unbounded; stages beyond
+        # the histogram clip into a final "other" bucket so the per-stage
+        # counts always total the fleet size (ADVICE r3: codes >= 15 used
+        # to vanish silently).
+        _N_STAGES = 16
 
         @jax.jit
         def _stage_reduce(stage, steps):
+            clipped = jnp.minimum(stage, _N_STAGES - 1)
             counts = jnp.sum(
-                stage[:, None] == jnp.arange(_N_STAGES)[None, :], axis=0)
+                clipped[:, None] == jnp.arange(_N_STAGES)[None, :], axis=0)
             return counts, jnp.mean(steps.astype(jnp.float32))
 
         counts, mean_steps = _stage_reduce(sol.stats.certified_stage,
                                            sol.stats.corrector_steps)
         counts = [int(c) for c in counts]
         out["certified_by_stage"] = {
-            s: c for s, c in enumerate(counts) if c}
+            (s if s < _N_STAGES - 1 else f"{_N_STAGES - 1}+"): c
+            for s, c in enumerate(counts) if c}
         out["mean_corrector_steps"] = float(mean_steps)
     return out

@@ -412,8 +412,16 @@ def _polish(ws: QPWorkspace, q, y, cfg: ADMMOptions):
             # degenerate ties still make progress.
             y_scale = 1.0 + jnp.max(jnp.abs(y_pol))
             significant = wrong > 1e-4 * y_scale
+            # The marginal worst-row drop waits for primal feasibility like
+            # the "single" rule (dropping a marginal row while infeasible
+            # can remove exactly the row needed to restore feasibility and
+            # churn the working set); the significance-based mass eviction
+            # stays unconditional — a SIGNIFICANTLY wrong-signed row is
+            # wrong regardless of the current residual.
+            feas = rp <= cfg.eps_abs * (1.0 + jnp.max(jnp.abs(Ax)))
             worst = jnp.argmax(wrong)
-            drop = significant.at[worst].set(wrong[worst] > 0)
+            drop = significant.at[worst].set(
+                significant[worst] | (feas & (wrong[worst] > 0)))
         low = low & ~drop
         up = up & ~drop
         x_pol, y_pol = _polish_solve(ws, q, low, up, cfg)

@@ -83,6 +83,42 @@ def test_unknown_param_raises():
         options_from_params({"definitelyNotAKnob": 1})
 
 
+def test_suboption_disposition_complete():
+    """Every OSQP/qpOASES sub-option the reference mex accepts
+    (interfaces/matlab/LCQPow.cpp:347-482 qpOASES, :488-565 OSQP) has an
+    explicit disposition: mapped to an ADMMOptions field or documented as
+    ignored; anything outside the known sets fails loudly."""
+    import dataclasses
+    from lcqpow_tpu.api import (_OSQP_FIELD_MAP, _OSQP_FIELDS_IGNORED,
+                                _QPOASES_FIELDS_IGNORED)
+    from lcqpow_tpu.options import ADMMOptions
+
+    osqp_22 = {"rho", "sigma", "alpha", "eps_abs", "eps_rel", "eps_prim_inf",
+               "eps_dual_inf", "max_iter", "polish", "polish_refine_iter",
+               "delta", "adaptive_rho", "adaptive_rho_tolerance",
+               "adaptive_rho_interval", "adaptive_rho_fraction",
+               "check_termination", "scaled_termination", "scaling",
+               "linsys_solver", "time_limit", "verbose", "warm_start"}
+    covered = set(_OSQP_FIELD_MAP) | set(_OSQP_FIELDS_IGNORED)
+    assert covered == osqp_22, covered ^ osqp_22
+    # Mapped targets must be real ADMMOptions fields.
+    admm_fields = {f.name for f in dataclasses.fields(ADMMOptions)}
+    assert set(_OSQP_FIELD_MAP.values()) <= admm_fields
+    assert len(_QPOASES_FIELDS_IGNORED) == 29
+    # Mapped fields actually land.
+    opts, _, _ = options_from_params(
+        {"OSQP_options": {"delta": 1e-7, "check_termination": 10,
+                          "adaptive_rho": True, "scaling": 10}})
+    assert opts.admm.polish_delta == 1e-7
+    assert opts.admm.check_interval == 10
+    assert opts.admm.adaptive_rho is True
+    # Unknown sub-keys raise.
+    with pytest.raises(KeyError):
+        options_from_params({"OSQP_options": {"not_a_field": 1}})
+    with pytest.raises(KeyError):
+        options_from_params({"qpOASES_options": {"notAKnob": 1}})
+
+
 def test_params_x0_steers_solution():
     # With solveZeroPenaltyFirst the initial QP ignores x0 (it may jump to
     # either S-point); disabling it makes the steering deterministic.

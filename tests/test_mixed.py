@@ -7,6 +7,7 @@ stationarity/complementarity tolerances (``/root/reference/src/Options.cpp:
 """
 
 import numpy as np
+import pytest
 
 import lcqpow_tpu as lt
 from lcqpow_tpu.problems import random_lcqp, warm_up
@@ -14,6 +15,7 @@ from lcqpow_tpu.problems import random_lcqp, warm_up
 OPTS = lt.Options(print_level=lt.PrintLevel.NONE)
 
 
+@pytest.mark.tpu_smoke
 def test_mixed_warm_up_matches_f64():
     sol = lt.solve_mixed(warm_up(), OPTS)
     assert int(sol.ret) == lt.ReturnValue.SUCCESSFUL_RETURN
@@ -28,6 +30,7 @@ def test_mixed_warm_up_matches_f64():
     assert int(sol.algo_status) == lt.AlgorithmStatus.S_STATIONARY_SOLUTION
 
 
+@pytest.mark.tpu_smoke
 def test_mixed_random_family_certified():
     for seed in range(4):
         data = random_lcqp(seed, nV=6, nC=2, nComp=2)
@@ -50,6 +53,7 @@ def test_mixed_agrees_with_f64_solver():
                                atol=5e-8)
 
 
+@pytest.mark.tpu_smoke
 def test_mixed_batch():
     problems = [random_lcqp(s, nV=6, nC=2, nComp=2) for s in range(8)]
     batch = lt.stack_lcqps(problems)
@@ -66,6 +70,7 @@ def test_mixed_failure_propagates():
     assert int(sol.ret) == lt.ReturnValue.MAX_PENALTY_REACHED
 
 
+@pytest.mark.tpu_smoke
 def test_mixed_circle_n20_matches_f64():
     """Medium-scale twin of the bench circle config (round-2 gap: the bench
     certified 0/128 on a path no test exercised).  Oracle: the f64 solver on
@@ -138,9 +143,10 @@ def test_mixed_batch_x0_escalation_honored():
 
 
 def test_mixed_batch_chunked_matches_full():
-    """`chunk=` (sequential lax.map slices) must be bit-identical to the
-    full-width vmap — it exists because medium-shape full-width vmaps
-    overwhelm the TPU compile worker (circle/OCP classes)."""
+    """`chunk=` (a host-side loop over one compiled chunk-width executable)
+    must agree with the full-width vmap to tight tolerance — it exists
+    because medium-shape full-width vmaps overwhelm the TPU compile worker
+    (circle/OCP classes)."""
     problems = [random_lcqp(s, nV=6, nC=2, nComp=2) for s in range(6)]
     batch = lt.stack_lcqps(problems)
     full = lt.solve_batch_mixed(batch, OPTS)

@@ -22,6 +22,7 @@ def _opts(**kw):
     return lt.Options(**kw)
 
 
+@pytest.mark.tpu_smoke
 def test_pas_warm_up():
     # RunUnitTests.cpp:505-551 oracle: x* in {(1,0),(0,1)}, S-stationary.
     sol = lt.solve(warm_up(), _opts())

@@ -22,6 +22,7 @@ def warm_up_data():
 OPTS = lt.Options(print_level=lt.PrintLevel.NONE)
 
 
+@pytest.mark.tpu_smoke
 def test_run_warm_up():
     """RunWarmUp: repeated solves land on one of the two S-stationary points
     and satisfy the LCQP stationarity residual (RunUnitTests.cpp:528-547).
@@ -51,6 +52,7 @@ def test_warm_up_with_initial_guess():
     np.testing.assert_allclose(x, [0., 1.], atol=1e-8)
 
 
+@pytest.mark.tpu_smoke
 def test_warm_up_with_linear_constraint():
     # test/examples/warm_up_w_A.cpp:35-37: A=[1,-1], lbA=-0.5, ubA=inf.
     data = lt.make_lcqp(Q=[[2., 0.], [0., 2.]], g=[-2., -2.],
@@ -81,6 +83,7 @@ def test_warm_up_binary_shifted_bounds():
     assert abs(phi) < 1e-6
 
 
+@pytest.mark.tpu_smoke
 def test_max_penalty_reached():
     # test/examples/test_max_penalty.cpp:49,75-79: with maxPenaltyParameter=1
     # the warm-up solve must FAIL with MAX_PENALTY_REACHED.
@@ -119,6 +122,7 @@ def test_store_steps_trajectories():
     assert np.all((sl > 0) & (sl <= 1.0))
 
 
+@pytest.mark.tpu_smoke
 def test_osqp_mode_dual_layout():
     # OSQP mode: no box-dual block; nDuals = nC + 2*nComp
     # (src/LCQProblem.cpp:929-935), duals follow the same LCQPow sign
@@ -180,6 +184,24 @@ def test_invalid_lower_complementarity_bound():
     with pytest.raises(lt.LCQPError):
         lt.make_lcqp(Q=[[2., 0.], [0., 2.]], g=[-2., -2.],
                      L=[[1., 0.]], R=[[0., 1.]], lbL=[-np.inf])
+
+
+def test_invalid_objective_linear_term():
+    # The reference rejects an unusable objective linear term at load
+    # (INVALID_OBJECTIVE_LINEAR_TERM, src/LCQProblem.cpp:104-109); the
+    # dense analogue is a non-finite entry in g.
+    with pytest.raises(lt.LCQPError) as ei:
+        lt.make_lcqp(Q=[[2., 0.], [0., 2.]], g=[np.nan, -2.],
+                     L=[[1., 0.]], R=[[0., 1.]])
+    assert ei.value.code == lt.ReturnValue.INVALID_OBJECTIVE_LINEAR_TERM
+
+
+def test_invalid_hessian_entries():
+    # Reference analogue of rejecting a null Hessian (src/LCQProblem.cpp:98-102).
+    with pytest.raises(lt.LCQPError) as ei:
+        lt.make_lcqp(Q=[[np.inf, 0.], [0., 2.]], g=[-2., -2.],
+                     L=[[1., 0.]], R=[[0., 1.]])
+    assert ei.value.code == lt.ReturnValue.INVALID_ARGUMENT
 
 
 def test_box_constrained_warm_up():
