@@ -158,31 +158,44 @@ def run_group(group: str):
         x0b = None if x0 is None else jnp.asarray(np.tile(x0, (B, 1)))
         return jax.tree.map(jnp.asarray, batch), x0b
 
-    def run_config(name, make_batch, B, opts, chunk=None, solve_fn=None):
+    def run_config(name, make_batch, B, opts, chunk=None, solve_fn=None,
+                   escalate=0):
         """Compile + time one config, then verify and return a result row.
         ``chunk``: process the fleet as a host-side loop over one compiled
         chunk-width executable — required for medium/large per-instance
         shapes (circle/OCP), where a full-width vmap crashes the remote
         compile worker (measured: batch 8 compiles, batch >= 16 dies at
-        nV=202/m=505)."""
-        solve_one = solve_fn or base_solve
+        nV=202/m=505).  ``escalate``: bounded uncertified-lane retry rounds
+        (fresh perturbation keys + doubled corrector budgets) via
+        ``solve_batch_mixed`` — part of the measured end-to-end solve, like
+        the reference example's own convergence loop."""
         batch, x0 = make_batch(B)
-        keys = jax.random.split(jax.random.PRNGKey(1), B)
-        if x0 is None:
-            vf = jax.vmap(lambda d, k: solve_one(d, opts, key=k),
-                          in_axes=(0, 0))
-            args = (batch, keys)
-        else:
-            vf = jax.vmap(lambda d, k, a: solve_one(d, opts, x0=a, key=k),
-                          in_axes=(0, 0, 0))
-            args = (batch, keys, x0)
-        if chunk is not None and 0 < chunk < B:
-            from lcqpow_tpu.batch import chunked_call
+        args = ()
+        if escalate and mode == "mixed":
+            from lcqpow_tpu.mixed import solve_batch_mixed
 
             def fn(*_):
-                return chunked_call(vf, args, B, chunk)
+                return solve_batch_mixed(batch, opts, x0=x0,
+                                         key=jax.random.PRNGKey(1),
+                                         escalate=escalate, chunk=chunk)
         else:
-            fn = jax.jit(vf)
+            solve_one = solve_fn or base_solve
+            keys = jax.random.split(jax.random.PRNGKey(1), B)
+            if x0 is None:
+                vf = jax.vmap(lambda d, k: solve_one(d, opts, key=k),
+                              in_axes=(0, 0))
+                args = (batch, keys)
+            else:
+                vf = jax.vmap(lambda d, k, a: solve_one(d, opts, x0=a, key=k),
+                              in_axes=(0, 0, 0))
+                args = (batch, keys, x0)
+            if chunk is not None and 0 < chunk < B:
+                from lcqpow_tpu.batch import chunked_call
+
+                def fn(*_):
+                    return chunked_call(vf, args, B, chunk)
+            else:
+                fn = jax.jit(vf)
         t0 = time.time()
         sol = fn(*args)
         jax.block_until_ready(sol.x)

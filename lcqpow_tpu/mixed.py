@@ -67,9 +67,13 @@ _DELTA = 1e-5
 # ||Pinv|| (hence cond(S) in f32); the bias is refined away.
 _DELTA_P = 1e-3
 # df32 refinement steps per KKT solve: with degenerate (dependent) active
-# rows the contraction can be as slow as ~0.05/step, so budget enough steps
-# to cross from f32 seeds (~1e-7) to the certificate tolerance (2.2e-13).
-_REFINE_STEPS = 9
+# rows the contraction can be as slow as ~0.5/step, so budget enough steps
+# to cross from a penalty-bumped residual (~1e-2) to the certificate
+# tolerance (2.2e-13) in ONE pass — measured on the circle fleet, a 10-step
+# budget exited at 3e-10 still contracting at 0.5/step, one pass short of
+# certifying.  Lanes at the df32 noise floor exit early via the stall test,
+# so the larger budget only costs the lanes that are still converging.
+_REFINE_STEPS = 14
 
 
 def _predictor_options(options: Options, m_rows: Optional[int] = None
@@ -122,6 +126,18 @@ def _predictor_options(options: Options, m_rows: Optional[int] = None
                                    stat_floor),
         complementarity_tolerance=max(options.complementarity_tolerance,
                                       compl_floor),
+        # f32-meaningful penalty ceiling: the f32 predictor physically
+        # cannot run the homotopy to the reference cap 1e8 — at rho >> 1e4
+        # the penalized gradient rho*C*x carries absolute f32 rounding
+        # ~eps32*rho = O(1) and the iterates wander (measured on the
+        # perturbed circle fleet: lanes pumped to 1e8 diverged to |x|~17
+        # while burning 170+ homotopy passes).  Lanes that genuinely need
+        # more rho hand over here and the df32 corrector continues the
+        # geometric schedule (its KKT matrix is the rho-INDEPENDENT Q, so
+        # unlike the predictor it stays well-conditioned); a predictor
+        # cap-hit that the corrector cannot rescue reports
+        # MAX_ITERATIONS_REACHED, not a spurious MAX_PENALTY_REACHED.
+        max_penalty_parameter=min(options.max_penalty_parameter, 1e4),
         print_level=PrintLevel.NONE,
         # Near the f32 noise floor an occasional inner-QP budget exhaustion
         # is expected; continue the homotopy from the best iterate instead
@@ -167,7 +183,6 @@ def correct_and_certify(data: LCQPData, options: Options,
     gphi_df = df32.from_f64(data.g_phi)
     l_df = df32.from_f64(l_int64)
     u_df = df32.from_f64(u_int64)
-    phi_c_df = df32.from_f64(data.phi_const)
 
     l32, u32 = l_df.hi, u_df.hi
     eq = (u_int64 - l_int64) < 1e-12        # equality rows (f64 detection)
@@ -218,10 +233,40 @@ def correct_and_certify(data: LCQPData, options: Options,
                      Aty_df(y)),
             g_tilde_df(rho32, upd))
         stat_norm = df32.max_abs(statk, axis=-1)
-        phi = df32.add(
-            df32.add(df32.mul_f32(df32.df_dot(x, Cx), f32(0.5)),
-                     df32.df_dot(gphi_df, x)),
-            phi_c_df)
+        # phi in PRODUCT form (Lx-lbL)'(Rx-lbR), not the quadratic
+        # expansion phi_const + g_phi'x + x'Cx/2 the reference caches
+        # (src/LCQProblem.cpp:1172-1185): near complementarity the
+        # expansion's O(1) terms cancel, so its df32 noise floor is
+        # ~n*u*scale (~7e-13 at nV=202) — ABOVE the certificate tolerance
+        # 1e3*EPS ~ 2.2e-13, which made circle-class certification a coin
+        # flip.  The product form is cancellation-free: each satisfied
+        # pair contributes |~0| * |O(1)| with only relative df32 error.
+        #
+        # Slacks below the df32 measurement floor are snapped to zero for
+        # the certificate: a row the KKT pass pinned at its bound carries
+        # ~1e-13 refinement dust, and multiplied by the partner slack's
+        # O(10) magnitude (the OCP workload) that dust alone reads as
+        # phi ~ 7e-13 > 1e3*EPS.  The reference never sees this because
+        # qpOASES/OSQP-polish return constraint values EXACTLY on their
+        # bounds (its f64 products have exact zero factors); treating
+        # sub-noise-floor slacks as the zeros they represent mirrors that
+        # semantics rather than relaxing the tolerance.
+        Axv = Ax_df(x)
+        sL = df32.sub(DF(Axv.hi[nC:nC + nK], Axv.lo[nC:nC + nK]),
+                      DF(l_df.hi[nC:nC + nK], l_df.lo[nC:nC + nK]))
+        sR = df32.sub(DF(Axv.hi[nC + nK:m0], Axv.lo[nC + nK:m0]),
+                      DF(l_df.hi[nC + nK:m0], l_df.lo[nC + nK:m0]))
+        # Floor constant: 32x the df32 unit roundoff (2^-48) per unit row
+        # scale — the measured dust on exactly-pinned rows is ~1.7e-13 at
+        # row scales of a few (the OCP file workload), right at this line.
+        u_snap = f32(32.0 * 2.0 ** -48)
+        sLv = sL.hi + sL.lo
+        sRv = sR.hi + sR.lo
+        keep = (jnp.abs(sLv) > u_snap * (1.0 + jnp.abs(Axv.hi[nC:nC + nK]))) \
+            & (jnp.abs(sRv) > u_snap * (1.0 + jnp.abs(Axv.hi[nC + nK:m0])))
+        prod = df32.mul(sL, sR)
+        phi = df32.sum_(DF(jnp.where(keep, prod.hi, 0.0),
+                           jnp.where(keep, prod.lo, 0.0)))
         return stat_norm, phi.hi + phi.lo
 
     def primal_violation(x: DF):
@@ -240,9 +285,19 @@ def correct_and_certify(data: LCQPData, options: Options,
         viol = jnp.maximum(jnp.max(below), jnp.max(above))
         return jnp.maximum(viol, f32(0.0)), jnp.max(jnp.abs(axv))
 
-    def kkt_solve_pass(x: DF, y: DF, gk: DF):
+    def kkt_solve_pass(x: DF, y: DF, gk: DF, trust_duals):
         """One active-set KKT solve of the linearized QP via f32 Schur +
-        df32 iterative refinement.  Returns the refined (x, nu)."""
+        df32 iterative refinement.  Returns the refined (x, nu) and the
+        initial/best refinement residuals.
+
+        ``trust_duals``: when False, the active-set seed uses only
+        equality/proximity/violation information and ignores the dual
+        signs.  An ADMM-quality hand-off (the predictor's inner budget
+        exhausted) carries ~1e-3-noise duals whose significance pattern
+        can pin a wrong set EVERY pass — measured: a lane sitting on the
+        solution froze for the whole corrector budget because each
+        dual-seeded solve was safeguard-rejected.  The outer loop
+        alternates the two seeds so neither failure mode can deadlock."""
         # Active set seeded from the current dual signs (equality rows
         # unconditionally active) — the reference's polish/hotstart logic.
         # LCQPow dual sign convention: POSITIVE duals push on active LOWER
@@ -262,9 +317,24 @@ def correct_and_certify(data: LCQPData, options: Options,
                                                           + jnp.abs(l32)))
         near_up = has_u & (jnp.abs(Gx0 - u32) <= 1e-5 * (1.0
                                                          + jnp.abs(u32)))
+        # Rows the iterate VIOLATES are active unconditionally: the f32
+        # predictor hands over points with ~1e-4-scale constraint error —
+        # outside the proximity deadband above and carrying a ~0 dual — and
+        # a masked KKT solve that never pins such a row leaves the
+        # violation in place forever (measured: lanes stationary to 1e-14
+        # with a 7e-5 bound violation burned the entire corrector budget
+        # at an identical iterate; the feasibility gate then rightly
+        # rejected certification).  Pinning them restores feasibility in
+        # one pass; a row that should NOT be active comes back with a
+        # wrong-signed multiplier and is dropped by the next pass's
+        # dual-significance seed.
+        viol_low = has_l & (Gx0 < l32)
+        viol_up = has_u & (Gx0 > u32)
         y_tol = 1e-5 * (1.0 + jnp.max(jnp.abs(y.hi)))
-        low = eq | (((y.hi > y_tol) | near_low) & has_l)
-        up = ((y.hi < -y_tol) | near_up) & has_u & ~low
+        sig_low = (y.hi > y_tol) & trust_duals
+        sig_up = (y.hi < -y_tol) & trust_duals
+        low = eq | ((sig_low | near_low | viol_low) & has_l)
+        up = (sig_up | near_up | viol_up) & has_u & ~low
         act = low | up
         mf = act.astype(f32)
 
@@ -314,11 +384,11 @@ def correct_and_certify(data: LCQPData, options: Options,
         # sets — keep refining instead of being cut off after one step
         # (ADVICE r2 #2: the old 0.5 factor risked the certification tail).
         def refine_cond(carry):
-            _, _, k, res, res_prev = carry
+            _, _, k, res, res_prev, _, _ = carry
             return (k < _REFINE_STEPS + 1) & (res < 0.9 * res_prev)
 
         def refine(carry):
-            xp, nu, k, res, _ = carry
+            xp, nu, k, res, _, res0, best = carry
             # r1 = Q xp + gk - G' nu    (df32)
             r1 = df32.add(df32.sub(Qx_df(xp),
                                    df32.split_matvec_t(Ghi, Glo, nu)), gk)
@@ -331,16 +401,39 @@ def correct_and_certify(data: LCQPData, options: Options,
             r2v = r2.hi + r2.lo
             res_new = jnp.maximum(jnp.max(jnp.abs(r1v)),
                                   jnp.max(jnp.abs(r2v)))
+            res0 = jnp.where(k == 0, res_new, res0)
+            # Best-iterate guard (same principle as chol._newton_schulz):
+            # the delta-regularized preconditioner is not a contraction on
+            # every rhs (measured: a penalty-bumped, stationarity-heavy
+            # residual grew 10.2 -> 19.0 in one step), and an oscillating
+            # later iterate must never overwrite a better earlier one.
+            xb, nub, res_best = best
+            better = res_new < res_best
+            best = (df32.where(better, xp, xb), df32.where(better, nu, nub),
+                    jnp.where(better, res_new, res_best))
             dx, dnu = precond(r1v, r2v)
             return (df32.add(xp, df32.from_f32(dx)),
                     df32.add(nu, df32.from_f32(dnu)),
-                    k + 1, res_new, res)
+                    k + 1, res_new, res, res0, best)
 
         big = jnp.asarray(jnp.finfo(f32).max, f32)
-        xp, nu, _, _, _ = lax.while_loop(
-            refine_cond, refine,
-            (xp, nu, jnp.zeros((), jnp.int32), big * f32(0.25), big))
-        return xp, nu
+        (xp, nu, _, res_last, res_prev, res_init, (xb, nub, res_best)) = \
+            lax.while_loop(
+                refine_cond, refine,
+                (xp, nu, jnp.zeros((), jnp.int32), big * f32(0.25), big,
+                 jnp.zeros((), f32), (xp, nu, big)))
+        # Two output candidates for the caller's acceptance tests:
+        # * contracted-choice: on a step-budget exit (last measured step
+        #   still contracting) the final, unmeasured correction typically
+        #   improves further — keep the final iterate; on a stall /
+        #   divergence exit fall back to the best measured iterate.
+        # * raw final: the iterate after ALL corrections, for the caller's
+        #   nonlinear-stationarity acceptance — a non-contracting refine
+        #   can still be a useful inexact SCP step (the OCP regime).
+        budget_exit = res_last < 0.9 * res_prev
+        xc = df32.where(budget_exit, xp, xb)
+        nuc = df32.where(budget_exit, nu, nub)
+        return xc, nuc, xp, nu, res_init, res_best
 
     # ---- corrector loop -----------------------------------------------------
     x32 = jnp.asarray(x32, f32)
@@ -370,7 +463,7 @@ def correct_and_certify(data: LCQPData, options: Options,
         return ~c[5]
 
     def body(c):
-        x, y, rho32, upd, k, done, conv, pen_fail, steps = c
+        x, y, rho32, upd, k, done, conv, pen_fail, steps, phi_prev = c
         stat_norm, phi_val = stat_phi(x, y, rho32, upd)
         viol, ax_scale = primal_violation(x)
         # Feasibility threshold is SOLVER-accuracy scale (the reference's
@@ -383,43 +476,86 @@ def correct_and_certify(data: LCQPData, options: Options,
         feas = viol <= 1e-9 * (1.0 + ax_scale)
         conv = (stat_norm < stat_tol) & (phi_val < compl_tol) & feas
         # Penalty update when stationary but not complementary (:528-533).
-        # Requires feasibility: pumping rho cannot repair an infeasible
-        # iterate — more KKT passes (active-set re-seeds) can.
-        pen = (stat_norm < stat_tol) & feas & ~conv
+        # Requires feasibility (pumping rho cannot repair an infeasible
+        # iterate — more KKT passes can) AND stalled complementarity
+        # progress, the corrector's analogue of the reference's Leyffer
+        # dynamic check (:1275-1313): while successive KKT passes are still
+        # shrinking |phi| geometrically, pumping is premature — measured on
+        # the circle fleet, phi falling 3 decades/pass at 9.6e-11 got
+        # pumped, the re-linearized refine rejected every later step, and
+        # the lane deadlocked one pass short of certifying.
+        stalled = jnp.abs(phi_val) > 0.5 * jnp.abs(phi_prev)
+        pen = (stat_norm < stat_tol) & feas & ~conv & stalled
         rho32 = jnp.where(pen, rho32 * beta, rho32)
         upd = upd | pen
         pen_fail = rho32 > f32(options.max_penalty_parameter)
         done = conv | pen_fail | (k >= n_corrector_iters)
         steps = steps + jnp.where(done, 0, 1).astype(jnp.int32)
+        phi_prev = jnp.where(done, phi_prev, phi_val)
 
         def step(args):
-            x, y, rho32, upd = args
+            x, y, rho32, upd, k = args
             gk = df32.add(df32.mul_f32(Cx_df(x), rho32),
                           g_tilde_df(rho32, upd))
-            xn, yn = kkt_solve_pass(x, y, gk)
+            # Alternate the active-set seed strategy across passes (see
+            # kkt_solve_pass): even passes trust the dual signs, odd ones
+            # use proximity/violation only.
+            xn, yn, xf, yf, res0, resN = kkt_solve_pass(x, y, gk,
+                                                        (k % 2) == 0)
             # Step safeguard: a wrong active-set seed can produce a solve
-            # that moves *away* from stationarity; unguarded, the next pass
+            # that moves *away* from the solution; unguarded, the next pass
             # re-seeds from the garbage duals and the iteration explodes
-            # (round-1 certification tail).  Accept only steps that keep the
-            # df32 stationarity within a generous factor of the pre-step
-            # value at the same (rho, g_tilde); rejected lanes hold their
-            # iterate (and fail honestly on budget if nothing changes).
-            sn_new, _ = stat_phi(xn, yn, rho32, upd)
-            sn_base, _ = stat_phi(x, y, rho32, upd)
-            ok = (sn_new <= jnp.maximum(f32(100.0) * sn_base, stat_tol)) \
+            # (round-1 certification tail).  A step is accepted when EITHER
+            # acceptance test passes — each covers a regime the other
+            # rejects wrongly:
+            #
+            # * ``contracted`` — the pass's own linearized-KKT residual
+            #   shrank.  Needed for feasibility-restoring steps from a
+            #   hyper-stationary-but-infeasible hand-off: any real move dx
+            #   shifts the nonlinear linearization by ~rho*||C||*||dx||
+            #   (measured 5e-2 vs a 1e-13 stationarity base on the circle
+            #   fleet), so a nonlinear-stationarity test alone rejects
+            #   exactly the steps that fix the iterate.
+            # * ``within`` — post-move nonlinear stationarity stays within
+            #   a generous factor of the pre-move value.  Needed for
+            #   mildly-inexact passes whose refinement does NOT contract
+            #   (the OCP workload's preconditioner overshoots on the first
+            #   refine step every pass, 1.2e-3 -> 1.6e-3): the outer
+            #   re-linearization still converges through such steps, and a
+            #   contraction-only test deadlocks the lane.
+            #
+            # Both are gated on finiteness and a no-teleport bound.  The
+            # candidates differ: ``contracted`` accepts the refine's
+            # contracted-choice iterate (xn); ``within`` accepts the raw
+            # final iterate (xf) — on a divergent refine xn falls back to
+            # the seed, which would turn the OCP-regime acceptance into a
+            # no-op.
+            scale = 1.0 + jnp.max(jnp.abs(x.hi))
+            contracted = resN <= f32(0.9) * res0 + f32(1e-10)
+            ok_c = contracted & (jnp.max(jnp.abs(xn.hi - x.hi)) <= scale) \
                 & jnp.all(jnp.isfinite(xn.hi)) & jnp.all(jnp.isfinite(yn.hi))
-            return df32.where(ok, xn, x), df32.where(ok, yn, y)
+            sn_new, _ = stat_phi(xf, yf, rho32, upd)
+            sn_base, _ = stat_phi(x, y, rho32, upd)
+            within = sn_new <= jnp.maximum(f32(100.0) * sn_base, stat_tol)
+            ok_f = ~ok_c & within \
+                & (jnp.max(jnp.abs(xf.hi - x.hi)) <= scale) \
+                & jnp.all(jnp.isfinite(xf.hi)) & jnp.all(jnp.isfinite(yf.hi))
+            xo = df32.where(ok_c, xn, df32.where(ok_f, xf, x))
+            yo = df32.where(ok_c, yn, df32.where(ok_f, yf, y))
+            return xo, yo
 
         x, y = lax.cond(done, lambda a: (a[0], a[1]), step,
-                        (x, y, rho32, upd))
-        return (x, y, rho32, upd, k + 1, done, conv, pen_fail, steps)
+                        (x, y, rho32, upd, k))
+        return (x, y, rho32, upd, k + 1, done, conv, pen_fail, steps,
+                phi_prev)
 
     i32 = lambda v: jnp.asarray(v, jnp.int32)
-    (x, y, rho32, upd, _, _, certified, pen_fail, corr_steps) = \
+    (x, y, rho32, upd, _, _, certified, pen_fail, corr_steps, _) = \
         lax.while_loop(
             cond, body,
             (x0, y0, rho0, upd0, i32(0), jnp.asarray(False),
-             jnp.asarray(False), jnp.asarray(False), i32(0)))
+             jnp.asarray(False), jnp.asarray(False), i32(0),
+             jnp.asarray(jnp.finfo(jnp.float32).max, jnp.float32)))
 
     # ---- dual transform + stationarity typing (df32) -----------------------
     Ax = Ax_df(x)
@@ -467,11 +603,19 @@ def correct_and_certify(data: LCQPData, options: Options,
     else:
         y_out = y_A_full
 
+    # A predictor MAX_PENALTY_REACHED that only hit the INTERNAL f32 rho
+    # ceiling (see _predictor_options) is a budget exhaustion, not a real
+    # penalty-cap failure: the corrector continued the schedule below the
+    # user's cap (else pen_fail would be set), so report it as such.
+    pred_ret_adj = jnp.where(
+        (pred_ret == int(ReturnValue.MAX_PENALTY_REACHED))
+        & (rho32 <= f32(options.max_penalty_parameter)),
+        int(ReturnValue.MAX_ITERATIONS_REACHED), pred_ret)
     ret = jnp.where(
         certified, int(ReturnValue.SUCCESSFUL_RETURN),
         jnp.where(pen_fail, int(ReturnValue.MAX_PENALTY_REACHED),
-                  jnp.where(pred_ret != int(ReturnValue.SUCCESSFUL_RETURN),
-                            pred_ret,
+                  jnp.where(pred_ret_adj != int(ReturnValue.SUCCESSFUL_RETURN),
+                            pred_ret_adj,
                             int(ReturnValue.MAX_ITERATIONS_REACHED)))
     ).astype(jnp.int32)
     # Stage attribution: 1 = the predictor's point certified without any

@@ -11,10 +11,16 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# CPU suite runs use their own cache directory (.jax_cache_cpu): the shared
+# .jax_cache holds entries written with XLA-internal AOT caches enabled by
+# TPU-side tooling, and deserializing those on a CPU host with a different
+# feature set aborts the process (see the enable_xla_caches note below).
+_suffix = ".jax_cache" if os.environ.get("LCQPOW_TPU_TEST_TPU", "0") == "1" \
+    else ".jax_cache_cpu"
 os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR",
     os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                 ".jax_cache"))
+                 _suffix))
 # JAX only writes cache entries into a pre-existing directory; without this
 # the advertised persistent-cache speedup silently never materialized
 # (round-1 VERDICT Weak #1).
@@ -42,7 +48,13 @@ if os.environ.get("LCQPOW_TPU_TEST_TPU", "0") != "1":
         jax.config.update("jax_compilation_cache_dir",
                           os.environ["JAX_COMPILATION_CACHE_DIR"])
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-        jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
+        # NOT "all": the XLA:CPU AOT kernel cache embeds the compile
+        # machine's CPU feature set, and this environment's VM migrates
+        # between hosts with different features — deserializing a stale
+        # AOT entry aborts the whole process (measured mid-round: a suite
+        # run SIGABRTed loading +prefer-no-scatter kernels on a host
+        # without them).  The main executable cache stays on.
+        jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
 
 import pytest  # noqa: E402
 
