@@ -530,15 +530,26 @@ def correct_and_certify(data: LCQPData, options: Options,
             # final iterate (xf) — on a divergent refine xn falls back to
             # the seed, which would turn the OCP-regime acceptance into a
             # no-op.
+            #
+            # The per-step bound alone permits geometric drift (each step
+            # may move 1+|x|, doubling the iterate scale; measured: a
+            # batch-mode circle lane compounded 25 accepted "within" steps
+            # into |x| ~ 1e4 and phi ~ 1e8), so total drift from the
+            # hand-off point is also capped — the corrector's job is a
+            # bounded continuation, not a global search.
+            drift_ok = lambda xc: jnp.max(jnp.abs(xc.hi - x0.hi)) \
+                <= 8.0 * (1.0 + jnp.max(jnp.abs(x0.hi)))
             scale = 1.0 + jnp.max(jnp.abs(x.hi))
             contracted = resN <= f32(0.9) * res0 + f32(1e-10)
             ok_c = contracted & (jnp.max(jnp.abs(xn.hi - x.hi)) <= scale) \
+                & drift_ok(xn) \
                 & jnp.all(jnp.isfinite(xn.hi)) & jnp.all(jnp.isfinite(yn.hi))
             sn_new, _ = stat_phi(xf, yf, rho32, upd)
             sn_base, _ = stat_phi(x, y, rho32, upd)
             within = sn_new <= jnp.maximum(f32(100.0) * sn_base, stat_tol)
             ok_f = ~ok_c & within \
                 & (jnp.max(jnp.abs(xf.hi - x.hi)) <= scale) \
+                & drift_ok(xf) \
                 & jnp.all(jnp.isfinite(xf.hi)) & jnp.all(jnp.isfinite(yf.hi))
             xo = df32.where(ok_c, xn, df32.where(ok_f, xf, x))
             yo = df32.where(ok_c, yn, df32.where(ok_f, yf, y))
