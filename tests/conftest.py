@@ -37,17 +37,17 @@ if os.environ.get("LCQPOW_TPU_TEST_TPU", "0") != "1":
     # the whole suite on the local CPU client (fast local compiles, no device
     # claim).  Outside axon this is equivalent to JAX_PLATFORMS=cpu.
     jax.config.update("jax_platforms", "cpu")
-    # The suite is compile-dominated (every option combination is a fresh
-    # executable); a persistent cache cuts repeat runs dramatically.  This
-    # JAX build does NOT honor the JAX_COMPILATION_CACHE_DIR env var, so the
-    # config key is set explicitly (round-1 VERDICT Weak #1: the cache never
-    # materialized).  LCQPOW_TPU_TEST_NO_CACHE=1 disables it (segfault
-    # triage: jax 0.9.0's XLA:CPU deserialize_executable can crash late in
-    # a long compile-heavy process).
-    if os.environ.get("LCQPOW_TPU_TEST_NO_CACHE", "0") != "1":
+    # Persistent compilation cache is OPT-IN for CPU suite runs
+    # (LCQPOW_TPU_TEST_CACHE=1): this jax build's XLA:CPU executable
+    # serializer segfaults DETERMINISTICALLY on specific executables
+    # (measured twice at the same test, stack ending in
+    # compilation_cache.put_executable_and_time), so with writes enabled a
+    # cold suite run can never finish.  A cold cache-less run takes ~19
+    # minutes in CI — slower than a warm cache, but it completes.
+    if os.environ.get("LCQPOW_TPU_TEST_CACHE", "0") == "1":
         jax.config.update("jax_compilation_cache_dir",
                           os.environ["JAX_COMPILATION_CACHE_DIR"])
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         # NOT "all": the XLA:CPU AOT kernel cache embeds the compile
         # machine's CPU feature set, and this environment's VM migrates
         # between hosts with different features — deserializing a stale
