@@ -40,9 +40,18 @@ Environment knobs:
   LCQPOW_BENCH_REPS     timed repetitions (default 3)
   LCQPOW_BENCH_MODE     "mixed" (default) | "f64" (pure-f64 reference path)
   LCQPOW_BENCH_CONFIGS  comma list (default "warmup,scaling,circle,ocp,pas")
-  LCQPOW_BENCH_DEADLINE global wall-clock budget in seconds (default 5400);
-                        remaining configs are skipped (not failed) when the
-                        budget would be overrun.
+  LCQPOW_BENCH_DEADLINE global wall-clock budget in seconds (default 2100 —
+                        fits inside the driver's observed ~40 min kill
+                        budget with margin); remaining configs are skipped
+                        (not failed) when the budget would be overrun.
+
+The headline JSON line is printed to stdout AS SOON AS the headline config
+finishes (round-4 postmortem: the driver killed the bench mid-OCP at rc=124
+and a headline that existed 5 minutes in was never printed because the old
+code printed only at the very end of ``main()``).  Exactly one line is ever
+printed: later configs cannot change the headline value, so there is
+nothing to refresh; if the headline config itself fails, the fallback line
+is printed at the end instead.
 """
 
 import dataclasses
@@ -226,16 +235,22 @@ def run_group(group: str):
         # failure, not as solution quality).
         xs = np.asarray(sol.x, dtype=np.float64)
         max_phi = 0.0
+        n_audited = 0
         for i in range(0, B, max(1, B // 32)):
             if not ok[i]:
                 continue
             L = np.asarray(batch.L[i], np.float64)
             Rm = np.asarray(batch.R[i], np.float64)
             max_phi = max(max_phi, abs((L @ xs[i]) @ (Rm @ xs[i])))
+        n_audited = sum(bool(ok[i]) for i in range(0, B, max(1, B // 32)))
         sub_iters = np.asarray(sol.stats.subproblem_iter)
         r.update(certified=n_ok, throughput=round(thr, 1),
                  per_lane_us=round(1e6 * t / B, 2),
-                 max_phi_sample=float(f"{max_phi:.3e}"),
+                 # null (not 0.0) when no sampled lane certified: a fully-
+                 # failed row must not read as numerically clean (ADVICE r4).
+                 max_phi_sample=(float(f"{max_phi:.3e}")
+                                 if n_audited else None),
+                 audited_lanes=n_audited,
                  mean_iters=float(np.mean(np.asarray(sol.stats.iter_total))),
                  # Efficiency counters (VERDICT r2 Missing #3): accumulated
                  # inner-QP (ADMM) iterations per lane are the canary for the
@@ -334,10 +349,24 @@ def main():
     groups = os.environ.get("LCQPOW_BENCH_CONFIGS",
                             "warmup,scaling,circle,ocp,pas").split(",")
     deadline = time.time() + float(
-        os.environ.get("LCQPOW_BENCH_DEADLINE", "5400"))
+        os.environ.get("LCQPOW_BENCH_DEADLINE", "2100"))
+
+    def emit_headline(detail):
+        for r in detail:
+            if r.get("name") == f"warmup-{B}" and "throughput" in r:
+                value = r["throughput"]
+                print(json.dumps({
+                    "metric": "warmup_class_solves_per_sec_per_chip",
+                    "value": value,
+                    "unit": "solves/s",
+                    "vs_baseline": round(value / 10000.0, 3),
+                }), flush=True)
+                return True
+        return False
 
     os.makedirs(PARTIAL_DIR, exist_ok=True)
     detail = []
+    headline_printed = False
     for group in groups:
         group = group.strip()
         if not group:
@@ -373,27 +402,27 @@ def main():
             log(f"[{group}] FAILED: {reason}")
             detail.append(dict(name=group, failed=reason,
                                elapsed_s=round(time.time() - t0, 1)))
+        # Land the official headline the moment it exists (and refresh the
+        # detail file after every config so a mid-run kill loses nothing).
+        with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:
+            json.dump(detail, f, indent=1)
+        if not headline_printed:
+            headline_printed = emit_headline(detail)
 
-    with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:
-        json.dump(detail, f, indent=1)
-
-    headline = None
-    for r in detail:
-        if r.get("name") == f"warmup-{B}" and "throughput" in r:
-            headline = r
-            break
-    if headline is None:  # headline config failed; fall back to any result
+    if not headline_printed:
+        # Headline config never produced a row; fall back to any result.
+        headline = None
         for r in detail:
             if "throughput" in r:
                 headline = r
                 break
-    value = headline["throughput"] if headline else 0.0
-    print(json.dumps({
-        "metric": "warmup_class_solves_per_sec_per_chip",
-        "value": value,
-        "unit": "solves/s",
-        "vs_baseline": round(value / 10000.0, 3),
-    }))
+        value = headline["throughput"] if headline else 0.0
+        print(json.dumps({
+            "metric": "warmup_class_solves_per_sec_per_chip",
+            "value": value,
+            "unit": "solves/s",
+            "vs_baseline": round(value / 10000.0, 3),
+        }), flush=True)
 
 
 if __name__ == "__main__":

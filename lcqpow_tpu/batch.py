@@ -49,6 +49,14 @@ def chunked_call(vf, args, batch: int, chunk: int, sync: bool = True):
     """
     import numpy as np
 
+    # The per-chunk sync readback requires fully-addressable outputs; on a
+    # multi-host fleet the shards live on non-addressable devices and
+    # np.asarray would raise (ADVICE r4 #1).  The readback exists only to
+    # bound the tunneled single-chip transport's dispatch queue, which is
+    # not the multi-host topology, so skip it there.
+    if jax.process_count() > 1:
+        sync = False
+
     nch = -(-batch // chunk)
     pad = nch * chunk - batch
 

@@ -74,7 +74,12 @@ def test_mixed_failure_propagates():
 def test_mixed_circle_n20_matches_f64():
     """Medium-scale twin of the bench circle config (round-2 gap: the bench
     certified 0/128 on a path no test exercised).  Oracle: the f64 solver on
-    the same problem (``/root/reference/examples/OptimizeOnCircle.cpp``)."""
+    the same problem (``/root/reference/examples/OptimizeOnCircle.cpp``),
+    precomputed ON CPU and pinned as golden values — computing it on-device
+    inside the test ran the whole f64 homotopy through the TPU's ~1000x
+    emulated float64, which both blew the smoke suite's time budget AND
+    returned SUBPROBLEM_SOLVER_ERROR under emulated-f64 numerics
+    (TPU_SMOKE_r04's one red test; VERDICT r4 Weak #5)."""
     from lcqpow_tpu.problems import optimize_on_circle
 
     data, x0 = optimize_on_circle(20)
@@ -82,10 +87,10 @@ def test_mixed_circle_n20_matches_f64():
                         qp_solver=lt.QPSolver.OSQP_SPARSE)
     smx = lt.solve_mixed(data, opts, x0=x0)
     assert int(smx.ret) == lt.ReturnValue.SUCCESSFUL_RETURN
-    s64 = lt.solve(data, opts, x0=x0)
-    assert int(s64.ret) == lt.ReturnValue.SUCCESSFUL_RETURN
-    np.testing.assert_allclose(np.asarray(smx.x[:2]), np.asarray(s64.x[:2]),
-                               atol=1e-5)
+    # Golden: lt.solve(data, opts, x0=x0) on XLA:CPU (jax_platforms="cpu"),
+    # ret=0 after 17 homotopy passes.
+    np.testing.assert_allclose(np.asarray(smx.x[:2]),
+                               [0.19728666, -0.9873599], atol=1e-5)
 
 
 def test_mixed_circle_n100_reference_solution():
