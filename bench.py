@@ -241,7 +241,14 @@ def run_group(group: str):
                 continue
             L = np.asarray(batch.L[i], np.float64)
             Rm = np.asarray(batch.R[i], np.float64)
-            max_phi = max(max_phi, abs((L @ xs[i]) @ (Rm @ xs[i])))
+            # True complementarity product phi = (Lx-lbL)'(Rx-lbR)
+            # (mex doc, interfaces/matlab/LCQPow.m:20-28).  The unshifted
+            # (Lx)'(Rx) previously audited here misreported any workload
+            # with nonzero complementarity lower bounds (the OCP file's
+            # lbL reaches -1.0) as phi ~ 28 on perfectly certified lanes.
+            sL = L @ xs[i] - np.asarray(batch.lbL[i], np.float64)
+            sR = Rm @ xs[i] - np.asarray(batch.lbR[i], np.float64)
+            max_phi = max(max_phi, abs(sL @ sR))
         n_audited = sum(bool(ok[i]) for i in range(0, B, max(1, B // 32)))
         sub_iters = np.asarray(sol.stats.subproblem_iter)
         r.update(certified=n_ok, throughput=round(thr, 1),

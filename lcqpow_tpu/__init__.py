@@ -36,6 +36,7 @@ from .solver import Solution, solve
 from .batch import solve_batch
 from .mixed import solve_mixed, solve_batch_mixed
 from .compat import LCQProblem
+from .audit import audit_solution
 from .messages import message, print_message, print_solution, solution_banner
 from . import io
 from . import messages
@@ -51,7 +52,7 @@ __all__ = [
     "LCQPData", "LCQPError", "make_lcqp", "pad_lcqp", "stack_lcqps",
     "Stats", "Trajectories",
     "Solution", "solve", "solve_batch", "solve_mixed", "solve_batch_mixed",
-    "LCQProblem",
+    "LCQProblem", "audit_solution",
     "message", "print_message", "print_solution", "solution_banner",
     "io", "messages", "ops", "parallel",
 ]

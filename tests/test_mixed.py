@@ -63,6 +63,25 @@ def test_mixed_batch():
     assert sol.x.shape == (8, 6)
 
 
+def test_audit_solution_f64():
+    """Independent f64 host audit (ADVICE r4 #2): certified answers must
+    survive an unsnapped f64 re-evaluation of the certificate quantities."""
+    data = warm_up()
+    sol = lt.solve_mixed(data, OPTS)
+    rep = lt.audit_solution(data, sol, OPTS)
+    assert rep["audited"] == 1 and rep["phi_ok"], rep
+    assert rep["max_violation"] <= 1e-9
+    # Batched form, including a deliberately failed lane.
+    batch = lt.stack_lcqps([data] * 4)
+    solb = lt.solve_batch_mixed(batch, OPTS)
+    repb = lt.audit_solution(batch, solb, OPTS)
+    assert repb["audited"] == repb["total"] == 4 and repb["phi_ok"]
+    fail = lt.solve_mixed(data, OPTS.replace(max_penalty_parameter=1.0),
+                          x0=np.array([1., 1.]))
+    repf = lt.audit_solution(data, fail, OPTS)
+    assert repf["audited"] == 0 and repf["max_phi"] is None
+
+
 def test_mixed_failure_propagates():
     # maxPenaltyParameter=1 must still fail (test_max_penalty semantics).
     sol = lt.solve_mixed(warm_up(), OPTS.replace(max_penalty_parameter=1.0),
