@@ -64,7 +64,13 @@ def chunked_call(vf, args, batch: int, chunk: int, sync: bool = True):
         return jnp.concatenate([a, a[:pad]], axis=0) if pad else a
 
     pargs = jax.tree.map(padded, tuple(args))
-    vfj = jax.jit(vf)
+    # Accept an ALREADY-jitted callable and dispatch through it directly:
+    # wrapping it in a fresh ``jax.jit`` would create a new Python-level
+    # wrapper whose trace cache starts empty, so every caller-side reuse of
+    # one compiled chunk executable (the escalation retries in
+    # ``mixed._escalate_failed``) would re-trace the full program — tens of
+    # seconds for the medium-shape pipeline even on a persistent-cache hit.
+    vfj = vf if isinstance(vf, jax.stages.Wrapped) else jax.jit(vf)
     outs = []
     for i in range(nch):
         o = vfj(*jax.tree.map(lambda a: a[i * chunk:(i + 1) * chunk], pargs))

@@ -168,7 +168,7 @@ def _predictor_options(options: Options, m_rows: Optional[int] = None
 def correct_and_certify(data: LCQPData, options: Options,
                         x32, y32_out, rho, any_penalty_update,
                         pred_ret, pred_qp_flag,
-                        n_corrector_iters: int = 25):
+                        n_corrector_iters=25):
     """Compensated-f32 corrector + certifier (see module docstring).
 
     ``data`` is the float64 problem (split exactly into df32 words here);
@@ -176,6 +176,11 @@ def correct_and_certify(data: LCQPData, options: Options,
     :class:`solver.Solution`; ``any_penalty_update`` selects the reference's
     ``g_tilde`` quirk (``g`` until the first penalty update, then
     ``g + rho*g_phi``; ``src/LCQProblem.cpp:966-967`` vs ``:1210-1213``).
+
+    ``n_corrector_iters`` may be a Python int or a traced int32 scalar —
+    it only bounds the corrector ``while_loop``, so passing it as a RUNTIME
+    value lets the escalation retries reuse one compiled executable across
+    doubled budgets instead of compiling a new program per budget.
 
     Returns ``(x64, y64_out, ret, algo)``.
     """
@@ -720,7 +725,7 @@ def solve_mixed(data: LCQPData, options: Options = Options(),
                 x0: Optional[jnp.ndarray] = None,
                 y0: Optional[jnp.ndarray] = None,
                 key: Optional[jax.Array] = None,
-                n_corrector_iters: int = 25) -> Solution:
+                n_corrector_iters=25) -> Solution:
     """Mixed-precision solve of a single LCQP.  Same contract as
     :func:`solver.solve`; pure and jittable; vmap over ``(data, x0, y0,
     key)`` for batches (or use :func:`solve_batch_mixed`)."""
@@ -753,6 +758,34 @@ def solve_mixed(data: LCQPData, options: Options = Options(),
         certified_stage=stage,
     )
     return Solution(x=x, y=y_out, ret=ret, algo_status=algo, stats=stats)
+
+
+#: One jitted vmapped solver per (options, argument-signature): the wrapper's
+#: own trace cache then makes every same-shape call — the 16 chunks of a
+#: chunked fleet, the escalation retries, repeated bench reps — a pure
+#: dispatch.  Before this cache each ``solve_batch_mixed`` call built a fresh
+#: closure + ``jax.jit`` wrapper, so every escalation round re-traced the
+#: full mixed pipeline (tens of seconds at medium shapes, even when the
+#: persistent compile cache turned the XLA part into a hit).
+_BATCH_SOLVER_CACHE: dict = {}
+
+
+def _jitted_batch_solver(options: Options, sig: tuple):
+    key = (options, sig)
+    vfj = _BATCH_SOLVER_CACHE.get(key)
+    if vfj is None:
+        def single(d, k, b, *rest):
+            kwz = dict(zip(sig, rest))
+            return solve_mixed(d, options, x0=kwz.get("x0"),
+                               y0=kwz.get("y0"), key=k, n_corrector_iters=b)
+
+        vfj = jax.jit(jax.vmap(single, in_axes=(0,) * (3 + len(sig))))
+        # Bounded FIFO: evicting a wrapper releases its compiled executables
+        # (matters for long test sessions that sweep many Options values).
+        if len(_BATCH_SOLVER_CACHE) >= 32:
+            _BATCH_SOLVER_CACHE.pop(next(iter(_BATCH_SOLVER_CACHE)))
+        _BATCH_SOLVER_CACHE[key] = vfj
+    return vfj
 
 
 def solve_batch_mixed(data: LCQPData, options: Options = Options(),
@@ -790,7 +823,10 @@ def solve_batch_mixed(data: LCQPData, options: Options = Options(),
     if key is None:
         key = jax.random.PRNGKey(options.seed)
     keys = jax.random.split(key, batch)
-    kw = dict(n_corrector_iters=n_corrector_iters)
+    # Corrector budget as a per-lane RUNTIME array: identical compiled
+    # program across the escalation retries' doubled budgets (the budget only
+    # bounds the corrector while_loop, so it need not be a trace constant).
+    budgets = jnp.full((batch,), int(n_corrector_iters), jnp.int32)
 
     if chunk is None:
         # Auto-chunk guard: full-width vmaps of medium/large instances
@@ -814,9 +850,10 @@ def solve_batch_mixed(data: LCQPData, options: Options = Options(),
         if cap < batch:
             chunk = max(1, min(8, cap))
 
-    # Normalized argument tuple: (data, keys[, x0][, y0]), all batch-leading.
+    # Normalized argument tuple: (data, keys, budgets[, x0][, y0]), all
+    # batch-leading.
     sig = []
-    args = [data, keys]
+    args = [data, keys, budgets]
     if x0 is not None:
         args.append(jnp.asarray(x0))
         sig.append("x0")
@@ -824,18 +861,13 @@ def solve_batch_mixed(data: LCQPData, options: Options = Options(),
         args.append(jnp.asarray(y0))
         sig.append("y0")
 
-    def single(d, k, *rest):
-        kwz = dict(zip(sig, rest))
-        return solve_mixed(d, options, x0=kwz.get("x0"), y0=kwz.get("y0"),
-                           key=k, **kw)
+    vfj = _jitted_batch_solver(options, tuple(sig))
 
-    vf = jax.vmap(single, in_axes=(0,) * (2 + len(sig)))
-
-    if chunk is not None and 0 < chunk < batch:
+    if chunk is not None and 0 < chunk <= batch:
         from .batch import chunked_call
-        sol = chunked_call(vf, tuple(args), batch, chunk)
+        sol = chunked_call(vfj, tuple(args), batch, chunk)
     else:
-        sol = jax.jit(vf)(*args)
+        sol = vfj(*args)
     # Escalation runs for EVERY x0/y0 presence combination (round-2 bug:
     # the x0/y0 branches returned early, so exactly the circle/OCP fleets —
     # which require x0 — silently never got the uncertified-lane retry,
@@ -913,8 +945,13 @@ def _escalate_failed(sol: Solution, data: LCQPData, options: Options,
         if bad.size == 0:
             break
         # Power-of-two bucket: repeats of the failing lanes pad the retry
-        # batch so only O(log B) retry shapes ever compile.
+        # batch so only O(log B) retry shapes ever compile.  On a chunked
+        # fleet, pad up to at least one full chunk so the retry rides the
+        # SAME compiled chunk executable as the initial solve (sub-chunk
+        # buckets would otherwise compile fresh full-width programs).
         nb = 1 << max(int(bad.size - 1).bit_length(), 0)
+        if chunk:
+            nb = max(nb, chunk)
         idx = np.resize(bad, nb)
         sub = jax.tree.map(lambda a: jnp.asarray(np.asarray(a)[idx]), data)
         sx0 = None if x0 is None else jnp.asarray(np.asarray(x0)[idx])
