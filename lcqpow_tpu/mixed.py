@@ -228,10 +228,27 @@ def correct_and_certify(data: LCQPData, options: Options,
     delta = f32(_DELTA)
     from .solvers.admm import _ruiz_equilibrate
     Dsc, Esc, csc, Qs, As_sc = _ruiz_equilibrate(Qhi, Ahi, g_df.hi)
-    Pinv = spd_inverse(Qs + f32(_DELTA_P) * jnp.eye(n, dtype=f32))
-    # Cached full Schur product: every masked active-set Schur complement is
-    # an elementwise mask of this (see admm.QPWorkspace.Hfull).
-    Hfull = As_sc @ (Pinv @ As_sc.T)
+    # Medium shapes (m > n) use the range-space (augmented-Lagrangian) KKT
+    # form — an n x n operator K = Qs + As'(d*mask)As per corrector pass
+    # instead of the m x m dual Schur complement (same switch and rationale
+    # as admm._polish_solve: 4x fewer inverse FLOPs at circle N=100, and K
+    # stays SPD on rank-deficient active sets, so no null-space dual
+    # cleanup is needed).  Small shapes keep the Schur form, whose cached
+    # Hfull makes each pass one masked elementwise product.
+    use_range = options.admm.kkt_form == "range" and m > n
+    if use_range:
+        Pinv = Hfull = None
+        # Balanced AL penalty (see admm._polish_solve): the proximal floor
+        # _DELTA_P caps the weak-curvature directions and d = sqrt(sig/eps)
+        # equalizes enforcement error (~1/d) against inverse rounding
+        # (~eps*d/sig) — per-step contraction ~sqrt(eps/sig) ~ 1e-2.
+        d_pen = jnp.sqrt(f32(_DELTA_P) / f32(jnp.finfo(f32).eps))
+    else:
+        Pinv = spd_inverse(Qs + f32(_DELTA_P) * jnp.eye(n, dtype=f32))
+        # Cached full Schur product: every masked active-set Schur
+        # complement is an elementwise mask of this (see
+        # admm.QPWorkspace.Hfull).
+        Hfull = As_sc @ (Pinv @ As_sc.T)
 
     def Qx_df(x: DF) -> DF:
         return df32.split_matvec(Qhi, Qlo, x)
@@ -361,45 +378,71 @@ def correct_and_certify(data: LCQPData, options: Options,
         act = low | up
         mf = act.astype(f32)
 
-        # f32 Schur preconditioner for this active set (scaled space).
-        # Regularization is RELATIVE to the Schur diagonal — see
-        # admm._polish_solve for why an absolute delta rounds away in f32.
         G32 = As_sc * mf[:, None]
-        H = Hfull * (mf[:, None] * mf[None, :])
         eps32 = f32(jnp.finfo(f32).eps)
-        reg = jnp.maximum(delta, 8.0 * eps32 * jnp.diagonal(H))
-        S = H + jnp.diag(jnp.where(act, reg, f32(1.0)))
-        # Light inverse: the df32 refinement loop absorbs inverse error.
-        Sinv = spd_inverse_light(S)
+        if use_range:
+            # Range-space preconditioner: K = Qs + As'(d*mask)As, SPD for
+            # ANY active set (incl. rank-deficient degenerate corners, where
+            # the Schur form needed the null-space dual cleanup below).
+            dmf = d_pen * mf
+            K = Qs + (As_sc * dmf[:, None]).T @ As_sc
+            regK = jnp.maximum(f32(_DELTA_P), 8.0 * eps32 * jnp.diagonal(K))
+            Kinv = spd_inverse_light(K + jnp.diag(regK))
 
-        def precond(r1, r2):
-            """Solve the delta-regularized KKT correction: unscaled residuals
-            in, unscaled corrections out; the solve itself runs in the Ruiz-
-            scaled space.  Identities: dx = D dxs, dnu = E dnus / c, so
-            r1s = c D r1 and (active) r2s = E r2; inactive rows carry
-            r2 = nu and must come out as dnu = -nu, hence r2s = c nu / E."""
-            r1s = csc * Dsc * r1
-            r2s = jnp.where(act, Esc * r2, csc * r2 / Esc)
-            t = G32 @ (Pinv @ r1s) - r2s
-            dnus = Sinv @ t
-            # Null-space dual cleanup.  At degenerate corners the active set
-            # is rank-deficient (the OCP fleet pins 239 rows at n=151 — both
-            # branches of many pairs plus their box twins), so H = G Pinv G'
-            # is singular and dnus picks up a null(H) component of size
-            # ~|t_null|/delta (measured |dnus| ~ 50 at delta 1e-5).  In
-            # exact arithmetic G' annihilates it, but in f32 it leaks
-            # ~eps32*||Pinv||*|dnus| ~ 5e-3 into dx — 100x the true
-            # correction — and every corrector step gets safeguard-rejected
-            # (the round-4 OCP certification tail: lanes frozen at the
-            # hand-off for the whole budget).  Since S = H + diag(r),
-            # Sinv H = I - Sinv diag(r): subtracting Sinv@(r*dnus) removes
-            # the null component EXACTLY (S dnus_null = r dnus_null) while
-            # perturbing range components by only O(r/lambda).  One extra
-            # m x m matvec; no effect on well-conditioned active sets.
-            rvec = jnp.where(act, reg, f32(1.0))
-            dnus = dnus - Sinv @ (rvec * dnus)
-            dxs = Pinv @ (G32.T @ dnus - r1s)
-            return Dsc * dxs, Esc * dnus / csc
+            def precond(r1, r2):
+                """Unscaled residuals in, unscaled corrections out (same
+                contract as the Schur form).  Convention here is
+                r1 = Qx - G'nu + g, so with mu = -dnu the standard
+                augmented-Lagrangian correction reads
+                dx = -Kinv(r1 + G'D r2), dnu = -D(G dx + r2); inactive
+                rows carry r2 = nu and must come out as dnu = -nu."""
+                r1s = csc * Dsc * r1
+                r2s_act = Esc * r2 * mf
+                dxs = -(Kinv @ (r1s + As_sc.T @ (dmf * r2s_act)))
+                dnus_act = -(dmf * (G32 @ dxs + r2s_act))
+                dnus = jnp.where(act, dnus_act, -(csc * r2 / Esc))
+                return Dsc * dxs, Esc * dnus / csc
+        else:
+            # f32 Schur preconditioner for this active set (scaled space).
+            # Regularization is RELATIVE to the Schur diagonal — see
+            # admm._polish_solve for why an absolute delta rounds away in
+            # f32.
+            H = Hfull * (mf[:, None] * mf[None, :])
+            reg = jnp.maximum(delta, 8.0 * eps32 * jnp.diagonal(H))
+            S = H + jnp.diag(jnp.where(act, reg, f32(1.0)))
+            # Light inverse: the df32 refinement loop absorbs inverse error.
+            Sinv = spd_inverse_light(S)
+
+            def precond(r1, r2):
+                """Solve the delta-regularized KKT correction: unscaled
+                residuals in, unscaled corrections out; the solve itself
+                runs in the Ruiz-scaled space.  Identities: dx = D dxs,
+                dnu = E dnus / c, so r1s = c D r1 and (active) r2s = E r2;
+                inactive rows carry r2 = nu and must come out as dnu = -nu,
+                hence r2s = c nu / E."""
+                r1s = csc * Dsc * r1
+                r2s = jnp.where(act, Esc * r2, csc * r2 / Esc)
+                t = G32 @ (Pinv @ r1s) - r2s
+                dnus = Sinv @ t
+                # Null-space dual cleanup.  At degenerate corners the active
+                # set is rank-deficient (the OCP fleet pins 239 rows at
+                # n=151 — both branches of many pairs plus their box twins),
+                # so H = G Pinv G' is singular and dnus picks up a null(H)
+                # component of size ~|t_null|/delta (measured |dnus| ~ 50 at
+                # delta 1e-5).  In exact arithmetic G' annihilates it, but
+                # in f32 it leaks ~eps32*||Pinv||*|dnus| ~ 5e-3 into dx —
+                # 100x the true correction — and every corrector step gets
+                # safeguard-rejected (the round-4 OCP certification tail:
+                # lanes frozen at the hand-off for the whole budget).  Since
+                # S = H + diag(r), Sinv H = I - Sinv diag(r): subtracting
+                # Sinv@(r*dnus) removes the null component EXACTLY
+                # (S dnus_null = r dnus_null) while perturbing range
+                # components by only O(r/lambda).  One extra m x m matvec;
+                # no effect on well-conditioned active sets.
+                rvec = jnp.where(act, reg, f32(1.0))
+                dnus = dnus - Sinv @ (rvec * dnus)
+                dxs = Pinv @ (G32.T @ dnus - r1s)
+                return Dsc * dxs, Esc * dnus / csc
 
         b_df = DF(jnp.where(low, l_df.hi, jnp.where(up, u_df.hi, 0.0)) * mf,
                   jnp.where(low, l_df.lo, jnp.where(up, u_df.lo, 0.0)) * mf)
@@ -721,6 +764,57 @@ def correct_and_certify(data: LCQPData, options: Options,
             corr_steps, stage)
 
 
+#: kkt_form="range" is admitted when the row-normalized constraint system's
+#: lambda_max stays below this (measured: OCP 3.6 / circle N=20 6.6 both
+#: healthy in range form; circle N=100 at 26.5 overruns f32 — cond(K) 9.2e6,
+#: inverse residual 3.1, predictor fell 27 -> 66 homotopy passes).
+_RANGE_LAMBDA_MAX = 10.0
+
+
+def _resolve_kkt_form(data: LCQPData, options: Options) -> Options:
+    """Resolve ``ADMMOptions.kkt_form == "auto"`` from the problem structure.
+
+    Host-side and best-effort: needs concrete (non-traced) data and a
+    single-process runtime; anywhere it cannot look at the values it leaves
+    "auto" in place, which the solver treats as "schur" (the robust
+    default).  For batched data the estimate uses lane 0 — the fleets this
+    framework targets share one constraint structure across lanes (the
+    batch axis perturbs gradients/bounds).
+    """
+    if options.admm.kkt_form != "auto":
+        return options
+    n = data.nV
+    m = data.nC + 2 * data.nComp + n
+    if m <= 64 or m <= n or jax.process_count() > 1:
+        return options.replace(admm=dataclasses.replace(
+            options.admm, kkt_form="schur"))
+    try:
+        import numpy as np
+
+        A = np.asarray(data.A_full, np.float64)
+        if A.ndim == 3:
+            A = A[0]
+        if not np.all(np.isfinite(A)):
+            raise ValueError
+        stacked = np.concatenate([A, np.eye(n)], axis=0)
+        rn = np.linalg.norm(stacked, axis=1)
+        rn[rn == 0] = 1.0
+        An = stacked / rn[:, None]
+        v = np.full(An.shape[0], An.shape[0] ** -0.5)
+        lam = 0.0
+        for _ in range(20):
+            w = An @ (An.T @ v)
+            lam = float(np.linalg.norm(w))
+            if lam == 0.0:
+                break
+            v = w / lam
+        form = "range" if lam <= _RANGE_LAMBDA_MAX else "schur"
+    except Exception:
+        form = "schur"
+    return options.replace(admm=dataclasses.replace(options.admm,
+                                                    kkt_form=form))
+
+
 def solve_mixed(data: LCQPData, options: Options = Options(),
                 x0: Optional[jnp.ndarray] = None,
                 y0: Optional[jnp.ndarray] = None,
@@ -729,6 +823,8 @@ def solve_mixed(data: LCQPData, options: Options = Options(),
     """Mixed-precision solve of a single LCQP.  Same contract as
     :func:`solver.solve`; pure and jittable; vmap over ``(data, x0, y0,
     key)`` for batches (or use :func:`solve_batch_mixed`)."""
+    if not isinstance(jax.tree.leaves(data)[0], jax.core.Tracer):
+        options = _resolve_kkt_form(data, options)
     f32 = jnp.float32
     data32 = jax.tree.map(lambda a: jnp.asarray(a, f32), data)
     x032 = None if x0 is None else jnp.asarray(x0, f32)
@@ -818,6 +914,8 @@ def solve_batch_mixed(data: LCQPData, options: Options = Options(),
     instances (warm-up class) full-width; pass ``0`` to force full width,
     or an explicit size."""
     options = options.replace(print_level=PrintLevel.NONE)
+    if not isinstance(jax.tree.leaves(data)[0], jax.core.Tracer):
+        options = _resolve_kkt_form(data, options)
     leaf = jax.tree.leaves(data)[0]
     batch = leaf.shape[0]
     if key is None:

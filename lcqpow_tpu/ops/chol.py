@@ -222,13 +222,24 @@ def _spd_inverse_impl(M: jnp.ndarray, ns: int) -> jnp.ndarray:
 def _batched_impl(S: jnp.ndarray, ns) -> jnp.ndarray:
     """(B, m, m) SPD inverse: Pallas Gauss-Jordan kernel on TPU float32
     (bandwidth-bound, ~35x faster than the block recursion at the solver's
-    shapes), block recursion otherwise."""
+    shapes), block recursion otherwise.
+
+    Platform routing uses ``lax.platform_dependent`` (a lowering-time
+    branch), NOT the global default backend: a program can be compiled for
+    CPU devices while a TPU plugin holds the process default (the
+    multi-chip dry run on a CPU mesh under the tunneled-TPU environment),
+    and a global-backend gate would then lower the TPU-only Pallas kernel
+    for CPU and fail."""
     from .pallas_inverse import pallas_applicable, spd_inverse_pallas
     if pallas_applicable(S.shape, S.dtype) and S.ndim == 3:
-        Ss, d = _jacobi_scale(S)
-        X = spd_inverse_pallas(Ss) / (d[..., :, None] * d[..., None, :])
-        steps = _ns_steps(S.dtype) if ns is None else ns
-        return _newton_schulz(S, X, steps) if steps else X
+        def pallas_path(S):
+            Ss, d = _jacobi_scale(S)
+            X = spd_inverse_pallas(Ss) / (d[..., :, None] * d[..., None, :])
+            steps = _ns_steps(S.dtype) if ns is None else ns
+            return _newton_schulz(S, X, steps) if steps else X
+
+        return lax.platform_dependent(
+            S, tpu=pallas_path, default=lambda S: _spd_inverse_impl(S, ns))
     return _spd_inverse_impl(S, ns)
 
 

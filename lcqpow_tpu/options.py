@@ -81,6 +81,21 @@ class ADMMOptions:
     #              cold-start speed of murty without its noise-driven
     #              oscillation on degenerate sets.
     polish_drop_rule: str = "hybrid"
+    # KKT solve form for the polish / corrector active-set systems:
+    #   "schur" — m x m dual Schur complement (cached Hfull mask; the
+    #             battle-tested default, robust to any row structure);
+    #   "range" — n x n augmented-Lagrangian operator K = P + G'(d*mask)G
+    #             (~4x fewer inverse FLOPs when m >> n, SPD on
+    #             rank-deficient active sets) — VALID ONLY when constraint
+    #             rows don't structurally accumulate onto few variables:
+    #             lambda_max of the row-normalized AA' must stay small
+    #             (~<= 8), else cond(K) overruns working precision (the
+    #             circle problem's 100 lifting rows all couple (x1,x2):
+    #             cond 9e6, measured f32 inverse residual 3.1);
+    #   "auto"  — resolved by the mixed pipeline from that structural
+    #             estimate when the problem data is host-available,
+    #             otherwise treated as "schur".
+    kkt_form: str = "auto"
     pas_max_pivots: int = 30    # pivot-round budget of the PAS engine
                                 # (lcqpow_tpu/solvers/pas.py)
 
@@ -101,6 +116,10 @@ class ADMMOptions:
             _warn("ADMMOptions.polish_drop_rule must be 'murty', 'single' or "
                   "'hybrid'; using default 'hybrid'.")
             object.__setattr__(self, "polish_drop_rule", "hybrid")
+        if self.kkt_form not in ("auto", "schur", "range"):
+            _warn("ADMMOptions.kkt_form must be 'auto', 'schur' or 'range'; "
+                  "using default 'auto'.")
+            object.__setattr__(self, "kkt_form", "auto")
 
 
 @dataclasses.dataclass(frozen=True)

@@ -317,6 +317,58 @@ def _polish_solve(ws: QPWorkspace, q, low, up, cfg: ADMMOptions):
     b = jnp.clip(b, -INFTY, INFTY) * mf
 
     G = ws.As * mf[:, None]          # masked (zeroed inactive rows)
+
+    n = ws.Ps.shape[-1]
+    m = ws.As.shape[-2]
+    if cfg.kkt_form == "range" and m > n:
+        # Range-space (augmented-Lagrangian) form: solve the masked KKT
+        # system through the n x n operator K = Ps + sig*I + As'(d*mask)As
+        # instead of the m x m dual Schur complement.  At the medium shapes
+        # (OCP: m=401 vs n=151) the per-round Schur sweep inverse was the
+        # polish's dominant cost (2m^3 per round vs ~2(n^3 + m n^2) here),
+        # and K is SPD even when the active set is rank-deficient
+        # (degenerate corners), where the Schur complement H = G Pinv G'
+        # is singular.  Opt-in via ADMMOptions.kkt_form — resolved from a
+        # structural conditioning estimate by the mixed pipeline (see
+        # options.py: constraint rows that accumulate onto few variables
+        # overrun cond(K) in working precision).
+        #
+        # Scale balance: the proximal floor ``sig`` caps the weak-curvature
+        # directions (the circle problem's 5e-12-curved lifted variables —
+        # without it cond(K) ~ d/lambda_min and the working-precision
+        # inverse is garbage, measured: N=100 predictor fell from 27 to 66
+        # homotopy passes with the whole inner budget burned), and the
+        # penalty d = sqrt(sig/eps) equalizes the two refinement error
+        # terms (constraint-enforcement ~1/d per application vs inverse
+        # rounding ~eps*d/sig), giving a per-step contraction ~sqrt(eps/sig)
+        # — ~1e-2 in f32 at sig=1e-3, ~1.5e-4 in f64 at sig=1e-8.
+        eps_w = jnp.asarray(jnp.finfo(dtype).eps, dtype)
+        dP_ = cfg.polish_precond_delta
+        if dP_ is None:
+            dP_ = cfg.polish_delta
+        sig = jnp.asarray(dP_, dtype)
+        d_pen = jnp.sqrt(sig / eps_w)
+        dmf = d_pen * mf
+        K = ws.Ps + (ws.As * dmf[:, None]).T @ ws.As
+        reg = jnp.maximum(sig, 8.0 * eps_w * jnp.diagonal(K))
+        Kinv = spd_inverse_light(K + jnp.diag(reg))
+
+        def refine_rs(_, carry):
+            x_pol, nu = carry
+            r1 = ws.Ps @ x_pol + qs + G.T @ nu
+            r2 = G @ x_pol - b
+            dx = -(Kinv @ (r1 + ws.As.T @ (dmf * r2)))
+            dnu = dmf * (G @ dx + r2)
+            return x_pol + dx, nu + dnu
+
+        # Two extra refinement applications vs the Schur form: each costs
+        # only n^2-scale matvecs here, and the contraction budget must
+        # cross from O(1) seeds to the KKT acceptance tolerance.
+        x_pol, nu = lax.fori_loop(
+            0, cfg.polish_refine_iter + 3, refine_rs,
+            (jnp.zeros((n,), dtype), jnp.zeros((m,), dtype)))
+        return ws.D * x_pol, jnp.where(act, ws.E * nu / ws.c, 0.0)
+
     # Masked Schur complement as an elementwise mask of the cached full
     # product (see QPWorkspace.Hfull) — no mat-mat on the hot path.
     H = ws.Hfull * (mf[:, None] * mf[None, :])

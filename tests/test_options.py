@@ -65,3 +65,34 @@ def test_options_hashable_static():
     a, b = lt.Options(), lt.Options()
     assert hash(a) == hash(b) and a == b
     assert hash(a.replace(seed=1)) != hash(a) or a.replace(seed=1) != a
+
+
+def test_kkt_form_validation_and_resolution():
+    import warnings
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        a = lt.ADMMOptions(kkt_form="bogus")
+    assert len(w) == 1 and a.kkt_form == "auto"
+
+    # Structural auto-resolution (mixed pipeline): accumulation-free rows
+    # resolve to "range", rows that pile onto few variables to "schur",
+    # small shapes always to "schur"; explicit settings pass through.
+    from lcqpow_tpu.mixed import _resolve_kkt_form
+    from lcqpow_tpu.problems import optimize_on_circle, warm_up
+    from lcqpow_tpu import io
+    import os
+
+    opts = lt.Options()
+    small = _resolve_kkt_form(warm_up(), opts)
+    assert small.admm.kkt_form == "schur"
+    c100, _ = optimize_on_circle(100)
+    assert _resolve_kkt_form(c100, opts).admm.kkt_form == "schur"
+    c20, _ = optimize_on_circle(20)
+    assert _resolve_kkt_form(c20, opts).admm.kkt_form == "range"
+    ref = "/root/reference/examples/example_data"
+    if os.path.isdir(ref):
+        ocp = io.load_lcqp_from_files(ref)
+        assert _resolve_kkt_form(ocp, opts).admm.kkt_form == "range"
+    forced = opts.replace(admm=lt.ADMMOptions(kkt_form="schur"))
+    assert _resolve_kkt_form(c20, forced).admm.kkt_form == "schur"
