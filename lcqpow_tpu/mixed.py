@@ -406,10 +406,26 @@ def correct_and_certify(data: LCQPData, options: Options,
             # f32 Schur preconditioner for this active set (scaled space).
             # Regularization is RELATIVE to the Schur diagonal — see
             # admm._polish_solve for why an absolute delta rounds away in
-            # f32.
-            H = Hfull * (mf[:, None] * mf[None, :])
-            reg = jnp.maximum(delta, 8.0 * eps32 * jnp.diagonal(H))
-            S = H + jnp.diag(jnp.where(act, reg, f32(1.0)))
+            # f32.  Active-set COMPRESSION as in admm._polish_solve: gather
+            # the k = n+64 highest-priority rows so the (HBM-copy-bound)
+            # m x m sweep inverse shrinks to k x k; non-gathered rows are
+            # all inactive and keep the dnu = -nu zeroing outside the
+            # compressed solve.
+            k_cap = min(m, -(-(n + 64) // 32) * 32)
+            compress = k_cap < m
+            if compress:
+                prio = mf + eq.astype(f32)
+                _, sel = lax.top_k(prio, k_cap)
+                mfk = mf[sel]
+                actk = act[sel]
+                Hk = Hfull[sel][:, sel] * (mfk[:, None] * mfk[None, :])
+                Gk = G32[sel]
+            else:
+                sel = None
+                mfk, actk, Gk = mf, act, G32
+                Hk = Hfull * (mf[:, None] * mf[None, :])
+            reg = jnp.maximum(delta, 8.0 * eps32 * jnp.diagonal(Hk))
+            S = Hk + jnp.diag(jnp.where(actk, reg, f32(1.0)))
             # Light inverse: the df32 refinement loop absorbs inverse error.
             Sinv = spd_inverse_light(S)
 
@@ -422,7 +438,8 @@ def correct_and_certify(data: LCQPData, options: Options,
                 hence r2s = c nu / E."""
                 r1s = csc * Dsc * r1
                 r2s = jnp.where(act, Esc * r2, csc * r2 / Esc)
-                t = G32 @ (Pinv @ r1s) - r2s
+                r2sk = r2s[sel] if compress else r2s
+                t = Gk @ (Pinv @ r1s) - r2sk
                 dnus = Sinv @ t
                 # Null-space dual cleanup.  At degenerate corners the active
                 # set is rank-deficient (the OCP fleet pins 239 rows at
@@ -439,9 +456,12 @@ def correct_and_certify(data: LCQPData, options: Options,
                 # (S dnus_null = r dnus_null) while perturbing range
                 # components by only O(r/lambda).  One extra m x m matvec;
                 # no effect on well-conditioned active sets.
-                rvec = jnp.where(act, reg, f32(1.0))
+                rvec = jnp.where(actk, reg, f32(1.0))
                 dnus = dnus - Sinv @ (rvec * dnus)
-                dxs = Pinv @ (G32.T @ dnus - r1s)
+                dxs = Pinv @ (Gk.T @ dnus - r1s)
+                if compress:
+                    # Non-gathered rows are inactive: dnu = -nu there.
+                    dnus = jnp.where(act, f32(0.0), -r2s).at[sel].set(dnus)
                 return Dsc * dxs, Esc * dnus / csc
 
         b_df = DF(jnp.where(low, l_df.hi, jnp.where(up, u_df.hi, 0.0)) * mf,
