@@ -1049,8 +1049,13 @@ def _escalate_failed(sol: Solution, data: LCQPData, options: Options,
             if int(np.asarray(count_bad(sol.ret))) == 0:
                 break
             rkey = jax.random.fold_in(key, r + 1)
+            # Round >= 1: RESTART the homotopy from the failed iterate (see
+            # the single-process branch below).  Device-side select; lanes
+            # that already succeeded are re-solved from their own solution
+            # and discarded by the merge.
+            rx0 = x0 if r == 0 else jnp.nan_to_num(sol.x)
             retry = solve_batch_mixed(
-                data, options, x0=x0, y0=y0, key=rkey,
+                data, options, x0=rx0, y0=y0, key=rkey,
                 n_corrector_iters=max(1, n_corrector_iters) * (2 << r),
                 escalate=0,
                 chunk=chunk)
@@ -1074,6 +1079,19 @@ def _escalate_failed(sol: Solution, data: LCQPData, options: Options,
         sub = jax.tree.map(lambda a: jnp.asarray(np.asarray(a)[idx]), data)
         sx0 = None if x0 is None else jnp.asarray(np.asarray(x0)[idx])
         sy0 = None if y0 is None else jnp.asarray(np.asarray(y0)[idx])
+        if r >= 1:
+            # RESTART the homotopy from the failed lanes' best iterate:
+            # stalled-predictor hand-offs freeze the corrector (garbage
+            # duals at high rho; every KKT pass safeguard-rejected), and a
+            # bigger corrector budget cannot help — but the failed primal
+            # iterate is typically near the solution, and a fresh homotopy
+            # from it rebuilds consistent duals along the way (measured on
+            # the two CPU-reproducible circle-fleet failures: un-certifiable
+            # at any budget from the original start, certified in 27 passes
+            # with 1 corrector step from the restart).  Round 0 keeps the
+            # original start + fresh perturbation key, which is the cheaper
+            # fix for merely-unlucky lanes.
+            sx0 = jnp.asarray(np.nan_to_num(np.asarray(sol.x)[idx]))
         rkey = jax.random.fold_in(key, r + 1)
         retry = solve_batch_mixed(
             sub, options, x0=sx0, y0=sy0, key=rkey,
