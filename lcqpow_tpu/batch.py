@@ -31,11 +31,12 @@ def chunked_call(vf, args, batch: int, chunk: int, sync: bool = True):
     and the results concatenated on device and trimmed.
 
     Deliberately NOT a device-side ``lax.map``: wrapping the chunk in a
-    device loop rebuilds the full-fleet program, which crashes the remote
-    TPU compile worker at exactly the medium/large shapes chunking exists
-    for (measured: circle N=100 — m=505 — compiles at width 8, dies at 16).
-    Shared by :func:`solve_batch`, :func:`mixed.solve_batch_mixed` and
-    ``bench.py``.
+    device loop rebuilds the full-fleet program, which overwhelms the
+    remote TPU compile worker at exactly the medium/large shapes chunking
+    exists for (round-2 boundary: circle N=100 — m=505 — compiled at width
+    8 and died at 16; the smaller post-compression program compiles up to
+    width 64 there, and 32 is the tuned default).  Shared by
+    :func:`solve_batch`, :func:`mixed.solve_batch_mixed` and ``bench.py``.
 
     ``sync`` (default on): a scalar device->host readback after each chunk
     dispatch, bounding the in-flight execution queue to depth 1.  On the

@@ -131,7 +131,23 @@ def _predictor_options(options: Options, m_rows: Optional[int] = None
         polish_precond_delta=max(
             a.polish_delta if a.polish_precond_delta is None
             else a.polish_precond_delta, 1e-3),
-        max_iter=min(a.max_iter, 500),
+        # Inner budget 250 (not the f64 default 4000): a budget-exhausting
+        # f32 subproblem is usually floor-limited, not slowly-converging —
+        # more iterations don't certify it, they just stall the whole
+        # lockstep chunk (tolerate_inner_maxiter hands the lane to the df32
+        # corrector, and the escalation restart covers the rare real
+        # casualties).  Measured on the circle chunk at width 32: 500 ->
+        # 250 cut warm wall-clock 26.0 -> 23.5 s and IMPROVED single-pass
+        # certification 29/32 -> 31/32 (shorter budgets hand over cleaner
+        # iterates before the f32 floor-churn corrupts the duals).
+        max_iter=min(a.max_iter, 250),
+        # Medium shapes check (and attempt the in-iteration polish) half as
+        # often: each check's polish bundle costs an m-scale Schur solve,
+        # and on the circle-class chunks those futile attempts dominated
+        # the predictor wall-clock.  Small shapes keep the tighter cadence
+        # (their polish is a sub-millisecond Pallas kernel).
+        check_interval=max(a.check_interval, 50) if m >= 300
+        else a.check_interval,
         # adaptive_rho deliberately NOT forced on here (round 2 did, as the
         # then-fix for circle-class stalls): with the size-aware eps floors
         # above the stalls are gone, and the f32 refactorization can
@@ -927,12 +943,11 @@ def solve_batch_mixed(data: LCQPData, options: Options = Options(),
     ``chunk``: process the fleet as a host-side loop over one compiled
     chunk-width executable (:func:`lcqpow_tpu.batch.chunked_call`).  For
     medium/large per-instance problems (circle N=100: nV=202, m=505) a
-    full-width vmap multiplies the compile-time working set by the batch —
-    measured on the tunneled TPU, batch 8 compiles (~520 s) but batch >= 16
-    crashes the remote compile worker.  ``None`` (default) auto-chunks
-    medium/large shapes by a calibrated size heuristic and keeps small
-    instances (warm-up class) full-width; pass ``0`` to force full width,
-    or an explicit size."""
+    full-width vmap multiplies the compile-time working set by the batch
+    and overwhelms the remote TPU compile worker.  ``None`` (default)
+    auto-chunks medium/large shapes by a calibrated size heuristic (width
+    32 at the circle shape) and keeps small instances (warm-up class)
+    full-width; pass ``0`` to force full width, or an explicit size."""
     options = options.replace(print_level=PrintLevel.NONE)
     if not isinstance(jax.tree.leaves(data)[0], jax.core.Tracer):
         options = _resolve_kkt_form(data, options)
@@ -948,25 +963,24 @@ def solve_batch_mixed(data: LCQPData, options: Options = Options(),
 
     if chunk is None:
         # Auto-chunk guard: full-width vmaps of medium/large instances
-        # crash the TPU remote compile worker (measured boundary: circle
-        # N=100 — nV=202, m=505 — compiles at batch 8, dies at batch 16).
-        # Calibrated as batch * m^3 (compile working set scales with the
-        # per-instance program size times the vectorized width): the 16k
-        # warm-up fleet (m=14) stays un-chunked, circle-class auto-chunks
-        # to 8.  Explicit ``chunk`` (any value, or 0 to force full width)
+        # overwhelm the TPU remote compile worker.  Calibrated as
+        # batch * m^3 (compile working set scales with the per-instance
+        # program size times the vectorized width): the 16k warm-up fleet
+        # (m=14) stays un-chunked, circle-class auto-chunks to 32.
+        # Explicit ``chunk`` (any value, or 0 to force full width)
         # overrides.
+        #
+        # Width history: round 2 measured width 8 compiling and width 16
+        # crashing the remote worker at m=505; after the polish-as-
+        # while_loop rewrite and active-set compression shrank the
+        # program, widths 16/32/64 all compile and run at that shape.
+        # 32 is the sweet spot: warm chunk dispatch ~2.5 s at (32, m=503)
+        # vs lockstep dilution at 64 (two 60+-pass lanes stall 64 lanes).
         m = data.nC + 2 * data.nComp + data.nV
-        # Compile working set scales as width * program-size(m) ~ width*m^3;
-        # the validated boundary is width 8 at m=505 (compiles; width 16
-        # dies), i.e. ~1.0e9.  Chunk whenever the full-width batch exceeds
-        # the width this budget allows (NOT only when batch*m^3 exceeds a
-        # total budget: that gate left batches 9..15 at m=505 running
-        # full-width inside the untested gap below the measured batch-16
-        # crash), capping at 8 — the only width validated on hardware.
-        budget = 1.04e9   # just above 8 * 505^3: cap(m=505) == 8 exactly
+        budget = 4.2e9   # just above 32 * 505^3: cap(m=505) == 32
         cap = int(budget / max(m, 1) ** 3)
         if cap < batch:
-            chunk = max(1, min(8, cap))
+            chunk = max(1, min(32, cap))
 
     # Normalized argument tuple: (data, keys, budgets[, x0][, y0]), all
     # batch-leading.

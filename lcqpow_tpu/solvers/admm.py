@@ -431,9 +431,16 @@ def _polish_solve(ws: QPWorkspace, q, low, up, cfg: ADMMOptions):
     return ws.D * x_pol, jnp.where(act, ws.E * nu / ws.c, 0.0)
 
 
-def _polish(ws: QPWorkspace, q, y, cfg: ADMMOptions):
+def _polish(ws: QPWorkspace, q, y, cfg: ADMMOptions, rounds=None):
     """Exact active-set solve seeded from dual signs, with bounded
     active-set refinement.  Branchless, fixed shapes.
+
+    ``rounds`` overrides ``cfg.polish_active_set_rounds`` (the in-ADMM
+    retry path passes 1: while ADMM is still iterating, the dual-sign seed
+    is usually WRONG and every extra refinement round is a wasted Schur
+    solve — measured on the circle chunk, the futile in-iteration polish
+    bundles dominated the predictor's wall-clock; the seed+1 round still
+    catches the hotstart-quality sets that do accept mid-iteration).
 
     The dual signs seed the active set (y<0: lower-active, y>0: upper-active,
     OSQP convention; equality rows unconditionally active); the masked
@@ -516,8 +523,9 @@ def _polish(ws: QPWorkspace, q, y, cfg: ADMMOptions):
         found = _kkt_ok(ws, q, x_pol, y_pol, cfg)
         return x_pol, y_pol, low, up, found, it + 1
 
+    n_rounds = int(cfg.polish_active_set_rounds if rounds is None else rounds)
     x_pol, y_pol, low, up, found, _ = lax.while_loop(
-        lambda c: ~c[4] & (c[5] < int(cfg.polish_active_set_rounds)),
+        lambda c: ~c[4] & (c[5] < n_rounds),
         _round, (x_pol, y_pol, low, up, found, jnp.zeros((), jnp.int32)))
     return x_pol, y_pol
 
@@ -664,7 +672,11 @@ def solve(ws: QPWorkspace, q, state: ADMMState, cfg: ADMMOptions) -> ADMMResult:
         dual_inf = dual_inf & ~bad
 
         if cfg.polish:
-            x_po, y_po = _polish(ws, q, y_un, cfg)
+            # One refinement round only while ADMM is mid-iteration: the
+            # dual-sign seed is usually wrong here and every further round
+            # is a wasted Schur solve (see _polish).  The per-subproblem
+            # polish-first attempt outside this loop keeps the full budget.
+            x_po, y_po = _polish(ws, q, y_un, cfg, rounds=1)
             ok_po = _kkt_ok(ws, q, x_po, y_po, cfg)
         else:
             x_po, y_po = x_un, y_un

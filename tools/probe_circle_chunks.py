@@ -58,6 +58,12 @@ keys = jax.random.split(jax.random.PRNGKey(1), B)[lo:hi]
 opts = lt.Options(print_level=lt.PrintLevel.NONE, max_iterations=MAXIT,
                   stationarity_tolerance=1e-2,
                   qp_solver=lt.QPSolver.OSQP_SPARSE)
+# Ablation overrides: ADMM_OVR='{"polish": false, "max_iter": 100}' etc.
+_ovr = os.environ.get("ADMM_OVR")
+if _ovr:
+    import json as _json
+    opts = opts.replace(admm=dataclasses.replace(opts.admm,
+                                                 **_json.loads(_ovr)))
 if STAGE == "pred":
     from lcqpow_tpu.mixed import _predictor_options
     from lcqpow_tpu.solver import solve
