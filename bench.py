@@ -322,12 +322,12 @@ def run_group(group: str):
         # 171.3/171.4/172.5 s).
         reps = 1
         rows.append(run_config("circle-N100", make_circle_batch, 128,
-                               circle_opts, chunk=32, escalate=2))
+                               circle_opts, chunk=32, escalate=3))
     elif group == "ocp":
         if os.path.isdir(REF_DATA):
             reps = 1
             rows.append(run_config("ocp-file", make_ocp_batch, 128, opts,
-                                   chunk=32, escalate=2))
+                                   chunk=32, escalate=3))
         else:
             log("[ocp-file] reference data mount absent; skipped")
     elif group == "pas":

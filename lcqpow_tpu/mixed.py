@@ -1063,13 +1063,19 @@ def _escalate_failed(sol: Solution, data: LCQPData, options: Options,
             if int(np.asarray(count_bad(sol.ret))) == 0:
                 break
             rkey = jax.random.fold_in(key, r + 1)
-            # Round >= 1: RESTART the homotopy from the failed iterate (see
+            # Round >= 1: RESTART the homotopy from the failed iterate;
+            # last-resort round >= 2: original start + adaptive rho (see
             # the single-process branch below).  Device-side select; lanes
             # that already succeeded are re-solved from their own solution
             # and discarded by the merge.
             rx0 = x0 if r == 0 else jnp.nan_to_num(sol.x)
+            ropts = options
+            if r >= 2:
+                rx0 = x0
+                ropts = options.replace(admm=dataclasses.replace(
+                    options.admm, adaptive_rho=True))
             retry = solve_batch_mixed(
-                data, options, x0=rx0, y0=y0, key=rkey,
+                data, ropts, x0=rx0, y0=y0, key=rkey,
                 n_corrector_iters=max(1, n_corrector_iters) * (2 << r),
                 escalate=0,
                 chunk=chunk)
@@ -1093,6 +1099,7 @@ def _escalate_failed(sol: Solution, data: LCQPData, options: Options,
         sub = jax.tree.map(lambda a: jnp.asarray(np.asarray(a)[idx]), data)
         sx0 = None if x0 is None else jnp.asarray(np.asarray(x0)[idx])
         sy0 = None if y0 is None else jnp.asarray(np.asarray(y0)[idx])
+        ropts = options
         if r >= 1:
             # RESTART the homotopy from the failed lanes' best iterate:
             # stalled-predictor hand-offs freeze the corrector (garbage
@@ -1106,9 +1113,21 @@ def _escalate_failed(sol: Solution, data: LCQPData, options: Options,
             # original start + fresh perturbation key, which is the cheaper
             # fix for merely-unlucky lanes.
             sx0 = jnp.asarray(np.nan_to_num(np.asarray(sol.x)[idx]))
+        if r >= 2:
+            # Fully-collapsed predictors (iterate pinned at the box bounds
+            # with every equality row violated) make the restart pointless
+            # — the iterate itself is garbage.  The last-resort round goes
+            # back to the ORIGINAL start with OSQP-style adaptive rho on:
+            # residual-ratio refactorization is the measured rescue for
+            # inner-ADMM collapse (tests/test_admm_adaptive.py, and it
+            # certified a collapsed circle-fleet lane no other strategy
+            # touched).  One extra compiled executable, cached thereafter.
+            sx0 = None if x0 is None else jnp.asarray(np.asarray(x0)[idx])
+            ropts = options.replace(admm=dataclasses.replace(
+                options.admm, adaptive_rho=True))
         rkey = jax.random.fold_in(key, r + 1)
         retry = solve_batch_mixed(
-            sub, options, x0=sx0, y0=sy0, key=rkey,
+            sub, ropts, x0=sx0, y0=sy0, key=rkey,
             n_corrector_iters=max(1, n_corrector_iters) * (2 << r),
             escalate=0, chunk=chunk)
         rret = np.asarray(retry.ret)[:bad.size]

@@ -42,7 +42,8 @@ opts = lt.Options(print_level=lt.PrintLevel.NONE, max_iterations=200,
 t0 = time.time()
 sol = solve_batch_mixed(jax.tree.map(jnp.asarray, batch), opts,
                         x0=jnp.asarray(x0b), key=jax.random.PRNGKey(1),
-                        escalate=int(os.environ.get("ESC", "2")), chunk=8)
+                        escalate=int(os.environ.get("ESC", "2")),
+                        chunk=int(os.environ.get("CH", "32")))
 ret = np.asarray(sol.ret)
 print(f"solve {time.time()-t0:.1f}s certified {(ret == 0).sum()}/{B}",
       flush=True)
