@@ -168,34 +168,41 @@ def run_group(group: str):
         return jax.tree.map(jnp.asarray, batch), x0b
 
     def run_config(name, make_batch, B, opts, chunk=None, solve_fn=None,
-                   escalate=0):
+                   escalate=0, corr_budget=None):
         """Compile + time one config, then verify and return a result row.
         ``chunk``: process the fleet as a host-side loop over one compiled
         chunk-width executable — required for medium/large per-instance
-        shapes (circle/OCP), where a full-width vmap crashes the remote
-        compile worker (measured: batch 8 compiles, batch >= 16 dies at
-        nV=202/m=505).  ``escalate``: bounded uncertified-lane retry rounds
-        (fresh perturbation keys + doubled corrector budgets) via
+        shapes (circle/OCP), where a full-width vmap overwhelms the remote
+        compile worker.  ``escalate``: bounded uncertified-lane retry rounds
+        (fresh key / iterate restart / adaptive-rho tiers) via
         ``solve_batch_mixed`` — part of the measured end-to-end solve, like
-        the reference example's own convergence loop."""
+        the reference example's own convergence loop.  ``corr_budget``:
+        first-pass corrector budget — the corrector while_loop is lockstep,
+        so one stubborn lane makes the whole fleet pay the full default
+        budget (measured at 4096: budget 25 -> 8 -> 6 left certification
+        IDENTICAL at 4095/4096 and raised throughput 26.3k -> 38.8k)."""
         batch, x0 = make_batch(B)
         args = ()
+        kw = {} if corr_budget is None else dict(
+            n_corrector_iters=corr_budget)
         if escalate and mode == "mixed":
             from lcqpow_tpu.mixed import solve_batch_mixed
 
             def fn(*_):
                 return solve_batch_mixed(batch, opts, x0=x0,
                                          key=jax.random.PRNGKey(1),
-                                         escalate=escalate, chunk=chunk)
+                                         escalate=escalate, chunk=chunk,
+                                         **kw)
         else:
             solve_one = solve_fn or base_solve
             keys = jax.random.split(jax.random.PRNGKey(1), B)
             if x0 is None:
-                vf = jax.vmap(lambda d, k: solve_one(d, opts, key=k),
+                vf = jax.vmap(lambda d, k: solve_one(d, opts, key=k, **kw),
                               in_axes=(0, 0))
                 args = (batch, keys)
             else:
-                vf = jax.vmap(lambda d, k, a: solve_one(d, opts, x0=a, key=k),
+                vf = jax.vmap(lambda d, k, a: solve_one(d, opts, x0=a,
+                                                        key=k, **kw),
                               in_axes=(0, 0, 0))
                 args = (batch, keys, x0)
             if chunk is not None and 0 < chunk < B:
@@ -309,11 +316,13 @@ def run_group(group: str):
 
     rows = []
     if group == "warmup":
-        rows.append(run_config(f"warmup-{B}", make_warmup_batch, B, opts))
+        rows.append(run_config(f"warmup-{B}", make_warmup_batch, B, opts,
+                               corr_budget=6 if mode == "mixed" else None))
     elif group == "scaling":
         for Bs in (2 * B, 4 * B):
             rows.append(run_config(f"warmup-{Bs}", make_warmup_batch,
-                                   Bs, opts))
+                                   Bs, opts,
+                                   corr_budget=6 if mode == "mixed" else None))
     elif group == "circle":
         # Medium configs run one timed rep: a single pass over the fleet
         # takes minutes (171 s circle, 686 s OCP measured), the

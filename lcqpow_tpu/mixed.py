@@ -1076,7 +1076,8 @@ def _escalate_failed(sol: Solution, data: LCQPData, options: Options,
                     options.admm, adaptive_rho=True))
             retry = solve_batch_mixed(
                 data, ropts, x0=rx0, y0=y0, key=rkey,
-                n_corrector_iters=max(1, n_corrector_iters) * (2 << r),
+                n_corrector_iters=max(25, max(1, n_corrector_iters)
+                                      * (2 if r == 0 else 1)),
                 escalate=0,
                 chunk=chunk)
             sol = _merge_retry(sol, retry, r)
@@ -1089,16 +1090,27 @@ def _escalate_failed(sol: Solution, data: LCQPData, options: Options,
             break
         # Power-of-two bucket: repeats of the failing lanes pad the retry
         # batch so only O(log B) retry shapes ever compile.  On a chunked
-        # fleet, pad up to at least one full chunk so the retry rides the
-        # SAME compiled chunk executable as the initial solve (sub-chunk
-        # buckets would otherwise compile fresh full-width programs).
+        # fleet, pad up to at least one full RETRY chunk so the retry rides
+        # one compiled chunk executable (sub-chunk buckets would otherwise
+        # compile fresh full-width programs).
         nb = 1 << max(int(bad.size - 1).bit_length(), 0)
-        if chunk:
-            nb = max(nb, chunk)
+        rchunk0 = None if chunk is None else min(chunk, 8)
+        if rchunk0:
+            nb = max(nb, rchunk0)
         idx = np.resize(bad, nb)
         sub = jax.tree.map(lambda a: jnp.asarray(np.asarray(a)[idx]), data)
         sx0 = None if x0 is None else jnp.asarray(np.asarray(x0)[idx])
         sy0 = None if y0 is None else jnp.asarray(np.asarray(y0)[idx])
+        # Retry sizing: buckets are small (a handful of failing lanes), so
+        # dispatch them at a narrower chunk width — less padded lockstep
+        # waste per round (one extra compiled executable, cached).  Retry
+        # corrector budgets: round 0 doubles the base budget (the classic
+        # deadlock knob); the restart/adaptive tiers re-run the whole
+        # homotopy, whose fresh hand-off certifies in a few corrector steps
+        # (measured: 1 step after a restart) — escalating THEIR budgets
+        # just stretched every retry dispatch ~4x for nothing.
+        rchunk = None if chunk is None else min(chunk, 8)
+        rbudget = max(25, max(1, n_corrector_iters) * (2 if r == 0 else 1))
         ropts = options
         if r >= 1:
             # RESTART the homotopy from the failed lanes' best iterate:
@@ -1128,8 +1140,8 @@ def _escalate_failed(sol: Solution, data: LCQPData, options: Options,
         rkey = jax.random.fold_in(key, r + 1)
         retry = solve_batch_mixed(
             sub, ropts, x0=sx0, y0=sy0, key=rkey,
-            n_corrector_iters=max(1, n_corrector_iters) * (2 << r),
-            escalate=0, chunk=chunk)
+            n_corrector_iters=rbudget,
+            escalate=0, chunk=rchunk)
         rret = np.asarray(retry.ret)[:bad.size]
         fixed_mask = rret == int(ReturnValue.SUCCESSFUL_RETURN)
         fixed = bad[fixed_mask]
