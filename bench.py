@@ -351,7 +351,7 @@ def run_group(group: str):
         # f64 on the hot path.
         if mode == "mixed":
             rows.append(run_config("pas-mixed-1024", make_warmup_batch,
-                                   1024, pas_opts))
+                                   1024, pas_opts, corr_budget=6))
     else:
         raise SystemExit(f"unknown config group: {group}")
 
