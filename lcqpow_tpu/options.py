@@ -142,6 +142,14 @@ class Options:
     # Iteration limits
     max_iterations: int = 1000
 
+    # Return the best tracked iterate (feasibility-first score) instead of
+    # the final one on MAX_ITERATIONS_REACHED exits.  Deliberate deviation
+    # from the reference (which always returns the last iterate): the f32
+    # predictor can collapse late in a hard homotopy, and the final iterate
+    # is then garbage while an earlier pass sat near the solution.  Success
+    # and penalty/subproblem-failure exits are unaffected.
+    keep_best_iterate: bool = True
+
     # Leyffer dynamic penalty check (src/LCQProblem.cpp:1275-1313)
     n_dynamic_penalty: int = 3
     eta_dynamic_penalty: float = 0.9

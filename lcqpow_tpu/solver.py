@@ -113,6 +113,14 @@ class _Carry:
     algo: jnp.ndarray        # () int32 AlgorithmStatus
     key: jax.Array
     traj: Optional[Trajectories]
+    # Best-iterate tracking (Options.keep_best_iterate): the homotopy can
+    # COLLAPSE in f32 (inner-ADMM divergence compounds until the iterate
+    # pins at the box bounds with every equality row violated — observed on
+    # the perturbed circle fleet on TPU), and the reference's contract of
+    # returning the final iterate then hands downstream consumers garbage.
+    x_best: jnp.ndarray
+    y_best: jnp.ndarray
+    score_best: jnp.ndarray  # () feasibility-first quality score
 
 
 def _phi(data: LCQPData, x):
@@ -290,6 +298,8 @@ def solve(data: LCQPData, options: Options = Options(),
                       i32(int(ReturnValue.SUCCESSFUL_RETURN))),
         algo=i32(int(AlgorithmStatus.PROBLEM_NOT_SOLVED)),
         key=key, traj=traj0,
+        x_best=xk0, y_best=yk_full0,
+        score_best=jnp.asarray(jnp.inf, dtype),
     )
     # An initial-QP failure means the loop never runs but ret must be the
     # error (runSolver :456-466); encode by flagging done with ret set above
@@ -308,6 +318,23 @@ def solve(data: LCQPData, options: Options = Options(),
         statk = Qk_mv(c.rho, xk) + c.g_tilde - A_int_t_y
 
         phi_k = _phi(data, xk)
+
+        # Best-iterate tracking (see _Carry): feasibility-first score so a
+        # later infeasible/collapsed pass can never displace an earlier
+        # feasible one; among feasible passes, stationarity+complementarity
+        # decide.  One extra (m, n) matvec per pass.
+        if options.keep_best_iterate:
+            Axk = ws.A @ xk
+            viol = jnp.max(jnp.maximum(Axk - jnp.clip(Axk, ws.l, ws.u), 0.0)
+                           + jnp.maximum(jnp.clip(Axk, ws.l, ws.u) - Axk,
+                                         0.0))
+            score = viol * 1e6 + jnp.max(jnp.abs(statk)) + jnp.abs(phi_k)
+            better = jnp.isfinite(score) & (score < c.score_best)
+            x_best = jnp.where(better, xk, c.x_best)
+            y_best = jnp.where(better, c.yk, c.y_best)
+            score_best = jnp.where(better, score, c.score_best)
+        else:
+            x_best, y_best, score_best = c.x_best, c.y_best, c.score_best
 
         # 3./4. printIteration / storeSteps at index `total` (:485-490).
         # Column layout, header cadence and level gating replicate
@@ -544,9 +571,24 @@ def solve(data: LCQPData, options: Options = Options(),
                       qp_iter_k=qp_iter_k, done=done, qp_streak=qp_streak,
                       streak_stat0=streak_stat0, streak_phi0=streak_phi0,
                       ret=ret.astype(jnp.int32), algo=algo, key=key,
-                      traj=traj)
+                      traj=traj, x_best=x_best, y_best=y_best,
+                      score_best=score_best)
 
     final = lax.while_loop(lambda c: ~c.done, body, carry0)
+
+    # On an iteration-budget failure hand over the BEST tracked iterate, not
+    # the final one: an f32 collapse (see _Carry.x_best) otherwise feeds the
+    # mixed pipeline's corrector garbage it rightly refuses to certify.
+    # MAX_PENALTY / SUBPROBLEM failures keep the reference's final-iterate
+    # contract (src/LCQProblem.cpp runSolver exit paths) — those exits carry
+    # diagnostic meaning in the final point.
+    if options.keep_best_iterate:
+        swap = (final.ret == int(ReturnValue.MAX_ITERATIONS_REACHED)) \
+            & jnp.isfinite(final.score_best)
+        final = dataclasses.replace(
+            final,
+            xk=jnp.where(swap, final.x_best, final.xk),
+            yk=jnp.where(swap, final.y_best, final.yk))
 
     # Assemble the mode-dependent dual layout (src/LCQProblem.cpp:888-960).
     y_A_full = final.yk[:m0]
