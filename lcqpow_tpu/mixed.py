@@ -608,7 +608,21 @@ def correct_and_certify(data: LCQPData, options: Options,
         # pumped, the re-linearized refine rejected every later step, and
         # the lane deadlocked one pass short of certifying.
         stalled = jnp.abs(phi_val) > 0.5 * jnp.abs(phi_prev)
-        pen = (stat_norm < stat_tol) & feas & ~conv & stalled
+        # FAR from complementarity (orders above tolerance) the stall gate
+        # is pure drag: a false-converged predictor can hand over rho ~1e-2
+        # when the lane needs ~1e0 (warm-up fleet lane 289: 7 doublings),
+        # and pumping only every 3-4 passes exhausts the corrector budget
+        # mid-schedule.  Far lanes pump on a LOOSE stationarity test (full
+        # ~1e-13 stationarity between doublings is pointless mid-schedule —
+        # each pump perturbs the gradient by ~beta*rho*|Cx| anyway); the
+        # stall gate + true tolerance then protect the endgame (the round-4
+        # bug the gate exists for fired at phi ~ 9.6e-11 = 4e2x tolerance,
+        # safely inside the gated zone).
+        far = jnp.abs(phi_val) > 1e4 * compl_tol
+        stat_loose = stat_norm < jnp.maximum(
+            stat_tol, f32(1e-5) * (1.0 + jnp.max(jnp.abs(x.hi))))
+        pen = feas & ~conv & ((stat_norm < stat_tol) & stalled
+                              | stat_loose & far)
         rho32 = jnp.where(pen, rho32 * beta, rho32)
         upd = upd | pen
         pen_fail = rho32 > f32(options.max_penalty_parameter)
