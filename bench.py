@@ -318,6 +318,13 @@ def run_group(group: str):
     if group == "warmup":
         rows.append(run_config(f"warmup-{B}", make_warmup_batch, B, opts,
                                corr_budget=6 if mode == "mixed" else None))
+        # Full-certification variant: one escalation round rescues the
+        # rare false-converged-predictor lane (4095 -> 4096/4096) at the
+        # cost of the retry dispatch + host sync in every timed rep.  The
+        # headline row above stays the pure-throughput configuration.
+        if mode == "mixed":
+            rows.append(run_config(f"warmup-{B}-full", make_warmup_batch,
+                                   B, opts, corr_budget=6, escalate=1))
     elif group == "scaling":
         for Bs in (2 * B, 4 * B):
             rows.append(run_config(f"warmup-{Bs}", make_warmup_batch,
